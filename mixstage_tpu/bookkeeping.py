@@ -1,0 +1,250 @@
+"""Experiment bookkeeping: naming, results, early stopping, checkpoints.
+
+Re-provides the external ``pycasper.BookKeeper`` API the reference depends on
+(SURVEY.md §1.1; usage at ``/root/reference/src/model/trainer.py:50-58,
+523-569`` and ``train.py:37-41``), with the same experiment-file contract
+(reference README.md:155-170):
+
+  ``PREFIX = exp_<num>_cpk_<name>_speaker_<speaker>_model_<model>[_note_<note>]``
+  ``PREFIX_args.args`` (json), ``PREFIX_res.json``, ``PREFIX_weights.p``
+  (flax msgpack), ``PREFIX_log.log``, ``PREFIX_name.name``.
+
+Checkpoints hold model weights + batch-norm state only (the reference never
+checkpoints optimizer state, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from mixstage_tpu.config import Config, config_from_dict
+
+
+class Name:
+    """Experiment-name builder: callable → PREFIX-path (pycasper Name)."""
+
+    def __init__(self, prefix: str):
+        self.prefix = prefix
+
+    def __call__(self, suffix: str, ext: str, save_dir: str) -> str:
+        os.makedirs(save_dir, exist_ok=True)
+        return (Path(save_dir) / f"{self.prefix}_{suffix}.{ext}").as_posix()
+
+    def dir(self, save_dir: str) -> str:
+        path = Path(save_dir) / self.prefix
+        os.makedirs(path, exist_ok=True)
+        return path.as_posix()
+
+
+def _next_exp_num(save_dir: str) -> int:
+    os.makedirs(save_dir, exist_ok=True)
+    nums = []
+    for f in os.listdir(save_dir):
+        if f.startswith("exp_"):
+            try:
+                nums.append(int(f.split("_")[1]))
+            except (IndexError, ValueError):
+                pass
+    return max(nums) + 1 if nums else 1
+
+
+class BookKeeper:
+    weights_ext = ("weights", "p")
+
+    def __init__(self, args: Config, args_subset: Optional[List[str]] = None,
+                 args_dict_update: Optional[Dict[str, Any]] = None,
+                 tensorboard: int = 0):
+        args_subset = args_subset or ["exp", "cpk", "speaker", "model", "note"]
+        args_dict_update = dict(args_dict_update or {})
+
+        if getattr(args, "load", None):
+            args = self._restore_args(args, args_dict_update)
+        else:
+            for k, v in args_dict_update.items():
+                setattr(args, k, v)
+        self.args = args
+
+        if self.args.exp is None:
+            self.args.exp = _next_exp_num(self.args.save_dir)
+        parts = []
+        for key in args_subset:
+            val = getattr(self.args, key, None)
+            if val is None:
+                continue
+            parts.append(f"{key}_{val}")
+        self.name = Name("_".join(parts))
+        self.save_dir = self.args.save_dir
+
+        self.res: Dict[str, List[float]] = {}
+        self.dev_sign = self.args.dev_sign
+        self.dev_key = self.args.dev_key
+        self.best_dev_score = np.inf * self.dev_sign
+        self.stop_count = 0
+        self._best_bytes: Optional[bytes] = None
+        self._log_file = None
+        self._tb = tensorboard
+
+        # persist args + name immediately (reference file contract)
+        self.args.save(self.name("args", "args", self.save_dir))
+        with open(self.name("name", "name", self.save_dir), "w") as f:
+            f.write(self.name.prefix)
+
+    # ------------------------------------------------------------- restore
+    def _restore_args(self, args: Config, args_dict_update: Dict) -> Config:
+        """Rebuild args from the checkpoint's ``_args.args`` file, then apply
+        updates (reference sample.py:10-15 semantics)."""
+        load_path = args.load
+        args_file = load_path.replace("_weights.p", "_args.args")
+        if os.path.exists(args_file):
+            restored = config_from_dict(json.load(open(args_file)))
+            restored.load = load_path
+            for k, v in args_dict_update.items():
+                setattr(restored, k, v)
+            return restored
+        for k, v in args_dict_update.items():
+            setattr(args, k, v)
+        return args
+
+    # ---------------------------------------------------------------- seeds
+    def _set_seed(self):
+        seed = self.args.seed
+        if seed:
+            np.random.seed(seed)
+            random.seed(seed)
+            os.environ["PYTHONHASHSEED"] = str(seed)
+            print(f"Deterministic Mode!! Seed set to {seed}")
+
+    # ----------------------------------------------------------------- logs
+    def _start_log(self):
+        self._log_file = open(self.name("log", "log", self.save_dir), "a")
+        self._log_file.write(f"--- start {time.asctime()}\n")
+        self._log_file.flush()
+
+    def _stop_log(self):
+        if self._log_file:
+            self._log_file.write(f"--- stop {time.asctime()}\n")
+            self._log_file.close()
+            self._log_file = None
+
+    def log(self, msg: str):
+        print(msg)
+        if self._log_file:
+            self._log_file.write(msg + "\n")
+            self._log_file.flush()
+
+    # ----------------------------------------------------------- checkpoint
+    @staticmethod
+    def _state_to_ckpt(state) -> Dict[str, Any]:
+        return {"g_params": state.g_params, "g_state": state.g_state,
+                "d_params": state.d_params, "d_state": state.d_state}
+
+    def _serialize(self, state) -> bytes:
+        from flax import serialization
+
+        return serialization.msgpack_serialize(
+            {k: (v if v is not None else {})
+             for k, v in self._state_to_ckpt(state).items()})
+
+    def _copy_best_model(self, state):
+        """Snapshot current weights as the running best (pycasper contract,
+        called at trainer.py:142)."""
+        self._best_bytes = self._serialize(state)
+
+    def _save_model(self, state):
+        if not self.args.save_model:
+            return
+        self._best_bytes = self._serialize(state)
+        with open(self.name(*self.weights_ext, self.save_dir), "wb") as f:
+            f.write(self._best_bytes)
+
+    def _load_model(self, state):
+        """Return ``state`` with weights restored from ``args.load`` (or the
+        experiment's own weights file)."""
+        from flax import serialization
+
+        path = self.args.load or self.name(*self.weights_ext, self.save_dir)
+        with open(path, "rb") as f:
+            ckpt = serialization.msgpack_restore(f.read())
+        restored = {}
+        template = self._state_to_ckpt(state)
+        for key, tmpl in template.items():
+            if tmpl is None or ckpt.get(key) in (None, {}):
+                restored[key] = tmpl
+            else:
+                restored[key] = serialization.from_state_dict(tmpl, ckpt[key])
+        return state.replace(g_params=restored["g_params"],
+                             g_state=restored["g_state"],
+                             d_params=restored["d_params"],
+                             d_state=restored["d_state"])
+
+    # ---------------------------------------------------------------- results
+    def update_res(self, res_dict: Dict[str, float]):
+        for key, val in res_dict.items():
+            self.res.setdefault(key, []).append(float(val))
+
+    def _save_res(self):
+        json.dump(self.res, open(self.name("res", "json", self.save_dir), "w"))
+
+    def print_res(self, epoch, key_order, metric_order=(), exp=None, lr=None):
+        parts = [f"exp: {exp}", f"epoch: {epoch}"]
+        for key in list(key_order):
+            if key in self.res and self.res[key]:
+                parts.append(f"{key}: {self.res[key][-1]:.6f}")
+        for key in metric_order:
+            for split in ["train", "dev", "test"]:
+                full = f"{split}_{key}"
+                if full in self.res and self.res[full]:
+                    parts.append(f"{full}: {self.res[full][-1]:.4f}")
+        parts.append(f"lr: {lr}")
+        self.log("  ".join(str(p) for p in parts))
+
+    def update_tb(self, updates: Dict[str, Any]):
+        """Tensorboard scalars (reference trainer.py:533-551); no-op without
+        a writer backend."""
+        if not self._tb:
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            if not hasattr(self, "_writer"):
+                self._writer = SummaryWriter(log_dir=self.name.dir(self.save_dir))
+            for tag, val, step in updates.get("scalar", []):
+                self._writer.add_scalar(tag, val, step)
+        except Exception:
+            pass
+
+    # ----------------------------------------------------------- early stop
+    def stop_training(self, state, epoch) -> bool:
+        """Greedy-save + early-stopping policy (pycasper semantics driven by
+        dev_key/dev_sign/stop_thresh/eps/greedy_save/overfit/min_epochs —
+        reference argsUtils.py:84-97,151-163, invoked trainer.py:564)."""
+        key = self.dev_key if self.dev_key in self.res else "dev"
+        if key not in self.res or not self.res[key]:
+            return False
+        score = self.res[key][-1]
+        improved = (self.dev_sign * score
+                    < self.dev_sign * self.best_dev_score - self.args.eps)
+        if self.args.overfit:
+            self._save_model(state)
+            return False
+        if improved:
+            self.best_dev_score = score
+            self.stop_count = 0
+            if self.args.greedy_save:
+                self._save_model(state)
+        else:
+            self.stop_count += 1
+        if (self.args.early_stopping and self.stop_count >= self.args.stop_thresh
+                and epoch >= self.args.min_epochs):
+            self.log(f"early stopping at epoch {epoch} "
+                     f"(best {key}: {self.best_dev_score:.6f})")
+            return True
+        return False

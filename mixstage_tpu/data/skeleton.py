@@ -1,0 +1,194 @@
+"""2D skeleton modality: constants + offline preprocessing.
+
+Parity target: reference ``Skeleton2D``
+(``/root/reference/src/data/skeleton.py:50-300``): raw per-frame keypoint files
+→ root-relative pose vectors (``pose/data``), shoulder-normalized pose
+(``pose/normalize``, shoulder length = 167 px), OpenPose confidences
+(``pose/confidence``); the 52-joint PATS tree (10 body + 2×21 fingers).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from mixstage_tpu.data.common import MissingData, Modality
+
+# 52-joint kinematic tree (reference skeleton.py:247-264)
+PARENTS = [-1,
+           0, 1, 2,
+           0, 4, 5,
+           0, 7, 7,
+           6,
+           10, 11, 12, 13,
+           10, 15, 16, 17,
+           10, 19, 20, 21,
+           10, 23, 24, 25,
+           10, 27, 28, 29,
+           3,
+           31, 32, 33, 34,
+           31, 36, 37, 38,
+           31, 40, 41, 42,
+           31, 44, 45, 46,
+           31, 48, 49, 50]
+
+JOINT_NAMES = ["Neck",
+               "RShoulder", "RElbow", "RWrist",
+               "LShoulder", "LElbow", "LWrist",
+               "Nose", "REye", "LEye",
+               "LHandRoot"] + \
+    [f"LHand{f}{i}" for f in ["Thumb", "Index", "Middle", "Ring", "Little"]
+     for i in range(1, 5)] + \
+    ["RHandRoot"] + \
+    [f"RHand{f}{i}" for f in ["Thumb", "Index", "Middle", "Ring", "Little"]
+     for i in range(1, 5)]
+
+ROOT = 0
+FS_POSE = 15  # pose frame rate (skeleton.py:295-296)
+NUM_JOINTS = len(PARENTS)  # 52
+REF_SHOULDER_LEN = 167.0   # normalization target (skeleton.py:118)
+
+
+class Skeleton2D(Modality):
+    def __init__(self, path2data="../dataset/groot/data",
+                 path2outdata="../dataset/groot/data", speaker="all",
+                 preprocess_methods="data"):
+        super().__init__(path2data=path2data, path2outdata=path2outdata,
+                         speaker=speaker)
+        self.preprocess_methods = preprocess_methods
+        self.missing = MissingData(self.path2outdata)
+
+    # ------------------------------------------------------------------ const
+    @property
+    def parents(self):
+        return list(PARENTS)
+
+    @property
+    def joint_names(self):
+        return list(JOINT_NAMES)
+
+    @property
+    def joint_subset(self):
+        """Relevant keypoints (nose/eyes removed) — skeleton.py:266-269."""
+        return np.r_[range(7), range(10, NUM_JOINTS)]
+
+    @property
+    def root(self):
+        return ROOT
+
+    def fs(self, modality):
+        return FS_POSE
+
+    @property
+    def h5_key(self):
+        return "pose"
+
+    # ----------------------------------------------------------------- kernel
+    @staticmethod
+    def process_keypoints(keypoints: np.ndarray, inv: bool = False):
+        """Root-relative encoding: subtract the root from every joint, keep
+        the root absolute (skeleton.py:192-201)."""
+        if not inv:
+            out = keypoints - keypoints[..., ROOT:ROOT + 1]
+            out[..., ROOT] = keypoints[..., ROOT]
+            return out.reshape(out.shape[0], -1)
+        keypoints = keypoints.reshape(keypoints.shape[0], 2, -1)
+        out = keypoints + keypoints[..., ROOT:ROOT + 1]
+        out[..., ROOT] = keypoints[..., ROOT]
+        return out
+
+    @staticmethod
+    def normalize_shoulder(data: np.ndarray) -> np.ndarray:
+        """Scale pose so the (root→RShoulder) length == 167 px
+        (skeleton.py:112-137); joints 0/52 (root x,y) stay absolute."""
+        ratio = REF_SHOULDER_LEN / np.sqrt(
+            (data.reshape(data.shape[0], 2, -1)[..., 1] ** 2).sum(1))
+        keypoints = ratio.reshape(-1, 1) * data
+        keypoints[:, [0, NUM_JOINTS]] = data[:, [0, NUM_JOINTS]]
+        return keypoints
+
+    # ------------------------------------------------------------ offline CLI
+    def preprocess(self):
+        speakers = self.speaker if self.speaker[0] != "all" else self.speakers
+        for speaker in speakers:
+            df_speaker = self.get_df_subset("speaker", speaker)
+            interval_ids = np.array(sorted(
+                set(df_speaker["interval_id"].unique())
+                - self.missing.load_intervals()))
+            missing = [self.save_intervals(i, speaker) for i in interval_ids]
+            self.missing.save_intervals(missing)
+
+    def save_intervals(self, interval_id, speaker) -> Optional[str]:
+        if self.preprocess_methods == "data":
+            fn = self.process_interval
+        elif self.preprocess_methods == "normalize":
+            fn = self.normalize
+        elif self.preprocess_methods == "confidence":
+            fn = self.confidence
+        else:
+            raise ValueError(
+                f"preprocess_methods = {self.preprocess_methods} not found")
+        keypoints = fn(interval_id)
+        if keypoints is None:
+            return interval_id
+        filename = (Path(self.path2outdata) / "processed" / speaker
+                    / f"{interval_id}.h5")
+        key = self.add_key(self.h5_key, [self.preprocess_methods])
+        try:
+            self.append(filename, key, keypoints)
+        except Exception:
+            return interval_id
+        return None
+
+    def process_interval(self, interval_id):
+        file_list = self.get_filelist(interval_id)
+        if file_list is None:
+            return None
+        keypoints = np.stack([np.loadtxt(f) for f in file_list], axis=0)
+        return self.process_keypoints(keypoints)
+
+    def normalize(self, interval_id):
+        speaker = self.get_df_subset("interval_id", interval_id).iloc[0].speaker
+        filename = (Path(self.path2outdata) / "processed" / speaker
+                    / f"{interval_id}.h5")
+        try:
+            data = self.load_array(filename, "pose/data")
+        except Exception:
+            warnings.warn(f"pose/data not found in {filename}")
+            return None
+        if data.ndim == 3:
+            return None
+        return self.normalize_shoulder(data)
+
+    def confidence(self, interval_id):
+        """OpenPose confidences duplicated across x/y (skeleton.py:139-178)."""
+        filename = (Path(self.path2outdata) / "raw_keypoints"
+                    / self.get_df_subset("interval_id", interval_id).iloc[0].speaker
+                    / f"{interval_id}.h5")
+        try:
+            data = self.load_array(filename.as_posix(), "pose/data")
+        except Exception:
+            warnings.warn(f"interval {interval_id} not found")
+            return None
+        keypoints = data[:, -1, :]
+        return np.concatenate([keypoints] * 2, axis=1)
+
+    def get_filelist(self, interval_id):
+        """Enumerate per-frame keypoint files of an interval
+        (skeleton.py:203-228); None if incomplete."""
+        df = self.df[self.df["interval_id"] == interval_id]
+        if not len(df):
+            return None
+        speaker = df["speaker"].values[0]
+        video_fn = df["video_fn"].values[0].split(".")[0]
+        video_fn = "_".join(video_fn.split(" "))
+        path2keypoints = Path(self.path2data) / speaker / "keypoints_simple" / video_fn
+        if not path2keypoints.exists():
+            return None
+        files = sorted(os.listdir(path2keypoints))
+        return [str(path2keypoints / f) for f in files]

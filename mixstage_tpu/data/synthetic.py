@@ -1,0 +1,91 @@
+"""Synthetic PATS-like dataset fixture.
+
+The reference has no test suite; its only mock is ``DummyData``
+(``/root/reference/src/data/dataUtils.py:30-48``).  For the rebuild's test
+pyramid (SURVEY.md §4) this module writes a miniature dataset with the *exact*
+on-disk contract of preprocessed PATS: a ``cmu_intervals_df.csv`` master table
+and per-interval h5 files holding ``pose/data`` (15 fps, 104 feats),
+``audio/log_mel_512`` (89 rows/s, 128 mels) and optionally ``text/w2v``
+(15 fps, 300 dims), so the full Data/ZNorm/KMeans/trainer stack runs unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from mixstage_tpu.data.hdf5 import HDF5
+
+POSE_FS = 15
+AUDIO_FS = 89          # log_mel_512 rows/sec (audio.py fs_map)
+POSE_FEATS = 104       # 52 joints x 2
+MEL_FEATS = 128
+W2V_FEATS = 300
+
+
+def _smooth_pose(rng: np.ndarray, num_frames: int, speaker_id: int,
+                 style_scale: float = 1.0) -> np.ndarray:
+    """Smooth, speaker-dependent random pose walk (root-relative layout)."""
+    base = rng.normal(size=(num_frames, POSE_FEATS)) * 2.0
+    # low-pass with a running mean for plausible velocities
+    kernel = np.ones(9) / 9.0
+    smooth = np.apply_along_axis(
+        lambda c: np.convolve(c, kernel, mode="same"), 0, np.cumsum(base, 0))
+    # speaker-specific posture offset + amplitude ("style")
+    offset = (speaker_id + 1) * 3.0
+    out = smooth * style_scale + offset
+    out[:, 0] = 0.0           # root x stays 0 (root-relative encoding)
+    out[:, POSE_FEATS // 2] = 0.0  # root y
+    return out
+
+
+def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
+                           num_intervals_per_speaker: int = 3,
+                           interval_seconds: float = 25.0,
+                           with_text: bool = False, seed: int = 11212) -> str:
+    """Write a synthetic dataset under ``path2data``; returns the path."""
+    if speakers is None:
+        speakers = ["oliver", "maher"]
+    rng = np.random.default_rng(seed)
+    rows = []
+    os.makedirs(path2data, exist_ok=True)
+    interval_counter = 100000
+    for si, speaker in enumerate(speakers):
+        for k in range(num_intervals_per_speaker):
+            interval_id = str(interval_counter)
+            interval_counter += 1
+            num_pose = int(interval_seconds * POSE_FS)
+            num_audio = int(interval_seconds * AUDIO_FS)
+            pose = _smooth_pose(rng, num_pose, si,
+                                style_scale=1.0 + 0.5 * si)
+            # audio correlated with pose energy so the model has signal
+            energy = np.abs(np.diff(pose, axis=0)).mean(-1)
+            energy = np.concatenate([energy[:1], energy])
+            t_audio = np.linspace(0, 1, num_audio)
+            t_pose = np.linspace(0, 1, num_pose)
+            energy_audio = np.interp(t_audio, t_pose, energy)
+            mel = (rng.normal(size=(num_audio, MEL_FEATS)) * 0.1
+                   + energy_audio[:, None])
+
+            h5path = Path(path2data) / "processed" / speaker / f"{interval_id}.h5"
+            HDF5.append(h5path, "pose/data", pose)
+            HDF5.append(h5path, "audio/log_mel_512", mel)
+            if with_text:
+                w2v = np.repeat(rng.normal(size=(num_pose // 15 + 1, W2V_FEATS)),
+                                15, axis=0)[:num_pose]
+                HDF5.append(h5path, "text/w2v", w2v)
+
+            dataset = ["train", "dev", "test"][min(k, 2)] \
+                if num_intervals_per_speaker >= 3 else "train"
+            rows.append({"speaker": speaker, "interval_id": interval_id,
+                         "dataset": dataset, "delta_time": interval_seconds,
+                         "start_time": "0:00:00.000000",
+                         "end_time": f"0:00:{interval_seconds:06.3f}",
+                         "video_fn": f"{speaker}_video.mp4"})
+    pd.DataFrame(rows).to_csv(Path(path2data) / "cmu_intervals_df.csv",
+                              index=False)
+    return path2data

@@ -1,0 +1,24 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh (SURVEY.md §4) so
+multi-chip sharding is validated without TPU hardware."""
+
+import os
+
+# NOTE: the harness presets JAX_PLATFORMS=axon (TPU) and its sitecustomize
+# pins it via jax.config, which beats the env var — so override via config.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11212)

@@ -1,0 +1,149 @@
+"""Data pipeline tests: windowing math, transforms, samplers, caches."""
+
+import numpy as np
+import pytest
+
+from mixstage_tpu.data.dataset import (AlternateClassSampler,
+                                       ConcatDatasetIndex, Data, DataLoader,
+                                       DummyData, RandomSampler)
+from mixstage_tpu.data.synthetic import make_synthetic_dataset
+from mixstage_tpu.data.transforms import (Compose, KMeansTransform,
+                                          Relative2Parent, RemoveJoints,
+                                          ZNorm, add_slices, remove_slices)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    path = tmp_path_factory.mktemp("pats")
+    make_synthetic_dataset(str(path), speakers=["oliver", "maher"],
+                           num_intervals_per_speaker=3)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def data(synth):
+    return Data(synth, ["oliver", "maher"],
+                modalities=["pose/data", "audio/log_mel_512"],
+                fs_new=[15, 15], time=4.3, batch_size=8, window_hop=5)
+
+
+def test_windowing_math(data):
+    """window = time*fs; stride = round(fs/fs_new); hop = window_hop*stride
+    (reference dataUtils.py:510-527)."""
+    md = data.train.dataset.datasets[0]
+    # pose: fs=15 → window 64 frames pre-subsample, stride 1
+    assert md.idx_interval_dict["pose/data"] == 1
+    assert (md.idx_end_list_dict["pose/data"][0]
+            - md.idx_start_list_dict["pose/data"][0]) == int(4.3 * 15)
+    # audio: fs=89 → stride 6, window int(4.3*89)=382
+    assert md.idx_interval_dict["audio/log_mel_512"] == round(89 / 15)
+    assert (md.idx_end_list_dict["audio/log_mel_512"][0]
+            - md.idx_start_list_dict["audio/log_mel_512"][0]) == int(4.3 * 89)
+    # hop: starts advance by window_hop * stride
+    starts = md.idx_start_list_dict["pose/data"]
+    assert starts[1] - starts[0] == 5 * 1
+
+
+def test_batch_shapes(data):
+    batch = next(iter(data.train))
+    assert batch["pose/data"].shape[1:] == (64, 104)
+    assert batch["audio/log_mel_512"].shape[1:] == (64, 128)
+    assert batch["style"].shape[1:] == (64,)
+    assert "idx" in batch
+    # shape property matches (dataUtils.py:452-464)
+    assert data.shape["pose/data"] == [64, 104]
+    assert data.shape["audio/log_mel_512"] == [64, 128]
+
+
+def test_style_ids_match_speaker(data):
+    for loader in [data.train, data.dev, data.test]:
+        for batch in loader.iter_all(batch_size=64):
+            assert set(np.unique(batch["style"])) <= {0.0, 1.0}
+            break
+
+
+def test_znorm_normalizes_and_inverts(synth, data, tmp_path):
+    pre = ZNorm(["pose/data"], savepath=str(tmp_path / "muvar"),
+                key=["oliver", "maher"], data=data.train, verbose=False)
+    batch = next(iter(data.train))
+    out = pre(batch)
+    z = out["pose/data"]
+    assert abs(z.mean()) < 0.5 and 0.3 < z.std() < 3.0
+    back = pre(out, inv=True)
+    np.testing.assert_allclose(back["pose/data"], batch["pose/data"],
+                               rtol=1e-6, atol=1e-6)
+    # second construction loads from cache and matches
+    pre2 = ZNorm(["pose/data"], savepath=str(tmp_path / "muvar"),
+                 key=["oliver", "maher"], data=None, verbose=False)
+    np.testing.assert_allclose(pre2.variable_dict["pose/data"][0],
+                               pre.variable_dict["pose/data"][0])
+
+
+def test_kmeans_cache_key_and_labels(data, tmp_path):
+    km = KMeansTransform(["pose/data"], savepath=str(tmp_path / "kmeans"),
+                         key=["oliver", "maher"], data=data.train,
+                         num_clusters=4, mask=[0, 7, 8, 9], verbose=False)
+    import h5py
+
+    with h5py.File(str(tmp_path / "kmeans" / "oliver_maher.h5"), "r") as h5:
+        # exact reference key format (transform.py:320-327)
+        assert "centers/4_pose_velocity_0_7_8_9_pose_data" in h5["/"]
+    batch = next(iter(data.train))
+    rj = RemoveJoints([0, 7, 8, 9])
+    labels = km(rj(batch["pose/data"]))
+    assert labels.shape == batch["pose/data"].shape[:2]
+    assert labels.max() < 4
+    soft = km.predict(rj(batch["pose/data"]), soft_labels=True)
+    np.testing.assert_allclose(soft.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_remove_add_slices_roundtrip():
+    x = np.arange(2 * 3 * 2 * 6, dtype=float).reshape(2, 3, 2, 6)
+    kept, removed = remove_slices(x, [0, 3], axis=-1)
+    assert kept.shape == (2, 3, 2, 4)
+    back = add_slices(kept, removed, [0, 3], axis=-1)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_remove_joints_invertible():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 64, 104))
+    rj = RemoveJoints([0, 7, 8, 9])
+    y = rj(x)
+    assert y.shape == (4, 64, 96)
+    back = rj(y, inv=True)
+    np.testing.assert_allclose(back, x, rtol=1e-12)
+
+
+def test_relative2parent_invertible():
+    rng = np.random.default_rng(0)
+    batch = {"pose/data": rng.normal(size=(2, 16, 104))}
+    r2p = Relative2Parent()
+    rel = r2p(batch)
+    back = r2p(rel, inv=True)
+    np.testing.assert_allclose(back["pose/data"], batch["pose/data"],
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_alternate_class_sampler_interleaves():
+    s = AlternateClassSampler([100, 100], num_samples=16)
+    idx = list(iter(s))
+    assert len(idx) == 16
+    # even positions from class 0, odd from class 1
+    assert all(i < 100 for i in idx[0::2])
+    assert all(100 <= i < 200 for i in idx[1::2])
+
+
+def test_concat_dataset_index_injects_idx():
+    d = ConcatDatasetIndex([DummyData(length=5), DummyData(length=5)])
+    assert len(d) == 10
+    item = d[7]
+    assert item["idx"] == 7
+
+
+def test_dataloader_iter_all_is_sequential():
+    d = DummyData(length=10)
+    loader = DataLoader(d, batch_size=4, sampler=RandomSampler(10))
+    seen = [b["pose"] for b in loader.iter_all(batch_size=4)]
+    np.testing.assert_array_equal(np.concatenate(seen),
+                                  np.arange(10, dtype=float) + 1)

@@ -1,0 +1,131 @@
+"""Model-family shape/behaviour tests (test strategy per SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixstage_tpu.models import (JointLateClusterSoftStyle4_G,
+                                 Speech2Gesture_D, Speech2Gesture_G,
+                                 StyleClassifier_G)
+from mixstage_tpu.models.layers import (EmbLin, PoseStyleEncoder, UNet1D,
+                                        curriculum_value)
+from mixstage_tpu.ops.mixture import index_select_outputs
+
+B, T, MEL, FEATS = 2, 64, 128, 96
+
+
+def init_and_apply(model, *args, train=False, **kwargs):
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    variables = model.init(rngs, *args, train=train, **kwargs)
+    out = model.apply(variables, *args, train=train, **kwargs,
+                      rngs={"dropout": jax.random.key(2)})
+    return variables, out
+
+
+def test_speech2gesture_g_shapes():
+    x = jnp.ones((B, 382, MEL))  # raw audio window before subsample-to-64
+    model = Speech2Gesture_G(time_steps=T, out_feats=FEATS)
+    _, (pose, internal) = init_and_apply(model, x)
+    assert pose.shape == (B, T, FEATS)
+    assert internal == []
+    assert np.isfinite(np.asarray(pose)).all()
+
+
+def test_speech2gesture_d_shapes():
+    x = jnp.ones((B, T, FEATS))
+    model = Speech2Gesture_D(in_channels=FEATS)
+    _, (score, internal) = init_and_apply(model, x)
+    # 64 → 32 → 16 → conv3(k4,s1,p1): 15 → logits(k4,valid): 12
+    assert score.shape == (B, 12)
+    assert np.isfinite(np.asarray(score)).all()
+
+
+def test_unet_requires_divisible_length():
+    model = UNet1D(16, 16)
+    with pytest.raises(AssertionError):
+        model.init(jax.random.key(0), jnp.ones((1, 60, 16)), train=False)
+
+
+def test_mixture_select_matches_manual():
+    rng = np.random.default_rng(0)
+    M, F = 4, 8
+    x = rng.normal(size=(B, T, M * F))
+    labels = jax.nn.softmax(jnp.asarray(rng.normal(size=(B, T, M))), -1)
+    out = index_select_outputs(jnp.asarray(x), labels, M)
+    manual = (x.reshape(B, T, M, F) * np.asarray(labels)[..., None]).sum(-2)
+    np.testing.assert_allclose(np.asarray(out), manual, rtol=1e-4, atol=1e-6)
+
+
+def test_emblin_lin_equals_emb_for_onehot():
+    model = EmbLin(num_embeddings=5, embedding_dim=7)
+    v = model.init(jax.random.key(0), jnp.zeros((B, 5)), mode="lin")
+    idx = jnp.array([1, 3])
+    hard = model.apply(v, idx, mode="emb")
+    soft = model.apply(v, jax.nn.one_hot(idx, 5), mode="lin")
+    np.testing.assert_allclose(np.asarray(hard), np.asarray(soft), rtol=1e-6)
+
+
+@pytest.mark.parametrize("use_pose_input", [False, True])
+def test_mix_stage_generator(use_pose_input):
+    S, M = 3, 8
+    audio = jnp.ones((B, 382, MEL))
+    y = jnp.ones((B, T, FEATS))
+    style_w = jax.nn.one_hot(jnp.zeros((B, T), jnp.int32), S)
+    model = JointLateClusterSoftStyle4_G(time_steps=T, out_feats=FEATS,
+                                         num_clusters=M, num_speakers=S)
+    rngs = {"params": jax.random.key(0)}
+    variables = model.init(rngs, [audio], y, style_w,
+                           input_modalities=["audio/log_mel_512"],
+                           use_pose_input=use_pose_input, train=False)
+    out = model.apply(variables, [audio], y, style_w,
+                      input_modalities=["audio/log_mel_512"],
+                      use_pose_input=use_pose_input, train=False)
+    assert out["pose"].shape == (B, T, FEATS)
+    assert out["labels_score"].shape == (B, T, M)
+    np.testing.assert_allclose(np.asarray(out["labels_cap_soft"].sum(-1)),
+                               np.ones((B, T)), rtol=1e-5)
+    # both curriculum variants must build/use the same parameter tree
+    assert "pose_encoder" in variables["params"]
+    assert "audio_encoder" in variables["params"]
+
+
+def test_mix_stage_batch_stats_update_in_train_mode():
+    S, M = 2, 4
+    audio = jnp.ones((B, 382, MEL))
+    y = jnp.ones((B, T, FEATS))
+    style_w = jax.nn.one_hot(jnp.zeros((B, T), jnp.int32), S)
+    model = JointLateClusterSoftStyle4_G(time_steps=T, out_feats=FEATS,
+                                         num_clusters=M, num_speakers=S)
+    variables = model.init({"params": jax.random.key(0)}, [audio], y, style_w,
+                           input_modalities=["audio/log_mel_512"],
+                           use_pose_input=False, train=False)
+    _, mutated = model.apply(variables, [audio], y, style_w,
+                             input_modalities=["audio/log_mel_512"],
+                             use_pose_input=False, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(1)})
+    assert "batch_stats" in mutated
+    # pose_encoder was not executed → its stats must be untouched
+    old = variables["batch_stats"]["pose_encoder"]
+    new = mutated["batch_stats"]["pose_encoder"]
+    chex_equal = jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: bool(jnp.all(a == b)), old, new))
+    assert chex_equal
+
+
+def test_pose_style_encoder_and_classifier():
+    y = jnp.ones((B, T, FEATS))
+    enc = PoseStyleEncoder(input_channels=FEATS, num_speakers=4)
+    _, score = init_and_apply(enc, y)
+    assert score.shape == (B, 4)
+
+    clf = StyleClassifier_G(in_channels=FEATS, num_speakers=4)
+    _, (logits, internal) = init_and_apply(clf, y)
+    assert logits.shape == (B, 4)
+
+
+def test_curriculum_schedule():
+    assert float(curriculum_value(0, 0, 1, 1000)) == 0.0
+    assert float(curriculum_value(500, 0, 1, 1000)) == pytest.approx(0.5)
+    assert float(curriculum_value(2000, 0, 1, 1000)) == 1.0

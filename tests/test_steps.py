@@ -1,0 +1,154 @@
+"""Train-step tests: GAN G/D semantics, curriculum variants, classifier."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixstage_tpu.train.steps import StepConfig, StepFactory, capabilities_from_name
+
+B, T, MEL, FEATS = 2, 64, 128, 96
+AUDIO_T = 382
+
+
+def make_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    batch = {"x": (jnp.asarray(rng.normal(size=(B, AUDIO_T, MEL)),
+                               jnp.float32),),
+             "y": jnp.asarray(rng.normal(size=(B, T, FEATS)), jnp.float32)}
+    if cfg.has_cluster:
+        batch["labels"] = jnp.asarray(
+            rng.integers(0, cfg.num_clusters, size=(B, T)))
+    if cfg.has_style or cfg.is_classifier:
+        style = rng.integers(0, cfg.num_speakers, size=(B, 1))
+        batch["style"] = jnp.asarray(np.repeat(style, T, 1))
+    return batch
+
+
+def test_capabilities_from_name():
+    assert capabilities_from_name("JointLateClusterSoftStyle4_G", 1) == \
+        "TrainerJointLateClusterStyleGAN"
+    assert capabilities_from_name("Speech2Gesture_G", 0) == "Trainer"
+    assert capabilities_from_name("StyleClassifier_G", 0) == \
+        "TrainerStyleClassifier"
+
+
+@pytest.fixture(scope="module")
+def mixstage_factory():
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=4, num_speakers=2)
+    return StepFactory(cfg, donate=False)
+
+
+@pytest.fixture(scope="module")
+def mixstage_state(mixstage_factory):
+    batch = make_batch(mixstage_factory.cfg)
+    return mixstage_factory.init(jax.random.key(0), batch)
+
+
+def _finite(tree):
+    return all(bool(jnp.isfinite(x).all())
+               for x in jax.tree_util.tree_leaves(tree))
+
+
+def test_gan_g_step_updates_generator_only(mixstage_factory, mixstage_state):
+    f, state = mixstage_factory, mixstage_state
+    batch = make_batch(f.cfg)
+    steps = f.make_steps()
+    new_state, losses, pose = steps["g"](state, batch, jax.random.key(1),
+                                         use_pose_input=False)
+    assert pose.shape == (B, T, FEATS)
+    for k in ["pose", "G_gan", "label", "id_in", "id_out", "total"]:
+        assert k in losses and np.isfinite(float(losses[k])), k
+    # G params changed, D params unchanged
+    g_changed = any(not bool(jnp.all(a == b)) for a, b in zip(
+        jax.tree_util.tree_leaves(state.g_params),
+        jax.tree_util.tree_leaves(new_state.g_params)))
+    d_same = all(bool(jnp.all(a == b)) for a, b in zip(
+        jax.tree_util.tree_leaves(state.d_params),
+        jax.tree_util.tree_leaves(new_state.d_params)))
+    assert g_changed and d_same
+    # D batch stats DO update during the G step (gan.py torch semantics)
+    d_bs_changed = any(not bool(jnp.all(a == b)) for a, b in zip(
+        jax.tree_util.tree_leaves(state.d_state),
+        jax.tree_util.tree_leaves(new_state.d_state)))
+    assert d_bs_changed
+    assert int(new_state.g_step) == int(state.g_step) + 1
+    assert _finite(new_state.g_params)
+
+
+def test_gan_d_step_updates_discriminator_only(mixstage_factory, mixstage_state):
+    f, state = mixstage_factory, mixstage_state
+    batch = make_batch(f.cfg)
+    steps = f.make_steps()
+    new_state, losses, pose = steps["d"](state, batch, jax.random.key(2),
+                                         use_pose_input=False)
+    for k in ["real_D", "fake_D", "label", "id_in", "id_out"]:
+        assert k in losses and np.isfinite(float(losses[k])), k
+    d_changed = any(not bool(jnp.all(a == b)) for a, b in zip(
+        jax.tree_util.tree_leaves(state.d_params),
+        jax.tree_util.tree_leaves(new_state.d_params)))
+    g_same = all(bool(jnp.all(a == b)) for a, b in zip(
+        jax.tree_util.tree_leaves(state.g_params),
+        jax.tree_util.tree_leaves(new_state.g_params)))
+    assert d_changed and g_same
+    # G is in eval mode during the D step: its batch stats must NOT change
+    g_bs_same = all(bool(jnp.all(a == b)) for a, b in zip(
+        jax.tree_util.tree_leaves(state.g_state),
+        jax.tree_util.tree_leaves(new_state.g_state)))
+    assert g_bs_same
+    # curriculum does not advance on D steps (G ran in eval mode)
+    assert int(new_state.curriculum_step) == int(state.curriculum_step)
+
+
+def test_gan_curriculum_pose_variant(mixstage_factory, mixstage_state):
+    f, state = mixstage_factory, mixstage_state
+    batch = make_batch(f.cfg)
+    steps = f.make_steps()
+    new_state, losses, pose = steps["g"](state, batch, jax.random.key(3),
+                                         use_pose_input=True)
+    assert np.isfinite(float(losses["total"]))
+    assert pose.shape == (B, T, FEATS)
+
+
+def test_eval_and_style_transfer(mixstage_factory, mixstage_state):
+    f, state = mixstage_factory, mixstage_state
+    batch = make_batch(f.cfg)
+    steps = f.make_steps()
+    losses, pose, aux = steps["eval"](state, batch, use_pose_input=False,
+                                      sample_flag=True)
+    assert np.isfinite(float(losses["pose"]))
+    # style transfer: shifting the style id changes the output pose
+    shifted = dict(batch)
+    shifted["style"] = (batch["style"] + 1) % f.cfg.num_speakers
+    _, pose2, _ = steps["eval"](state, shifted, use_pose_input=False,
+                                sample_flag=True)
+    assert not bool(jnp.allclose(pose, pose2))
+    # id losses are zero in the sampling path (jlcss4.py:169-174)
+    assert float(losses["id_in"]) == 0.0 and float(losses["id_out"]) == 0.0
+
+
+def test_simple_model_train_step():
+    cfg = StepConfig(model="Speech2Gesture_G", gan=False, criterion="L1Loss")
+    f = StepFactory(cfg, donate=False)
+    batch = make_batch(cfg)
+    state = f.init(jax.random.key(0), batch)
+    steps = f.make_steps()
+    losses_hist = []
+    for i in range(3):
+        state, losses, pose = steps["train"](state, batch, jax.random.key(i))
+        losses_hist.append(float(losses["pose"]))
+    assert losses_hist[-1] < losses_hist[0]  # overfit sanity check
+
+
+def test_classifier_step():
+    cfg = StepConfig(model="StyleClassifier_G", gan=False, num_speakers=3)
+    f = StepFactory(cfg, donate=False)
+    batch = make_batch(cfg)
+    state = f.init(jax.random.key(0), batch)
+    steps = f.make_steps()
+    state, losses, logits = steps["train"](state, batch, jax.random.key(1))
+    assert logits.shape == (B, 3)
+    assert np.isfinite(float(losses["pose"]))
+    ev_losses, ev_logits, _ = steps["eval"](state, batch)
+    assert "acc" in ev_losses
