@@ -138,8 +138,9 @@ class JointLateClusterSoftStyle4_G(nn.Module):
         Returns dict with 'pose' (B, T, out_feats), 'labels_score' and
         'labels_cap_soft' (B, T, M).
         """
-        if time_steps is None:
-            time_steps = self.time_steps
+        # time_steps=None lets the audio encoder resize to its own input
+        # length — the sampling path runs whole intervals as one sequence
+        # (reference trainer.py:778-786 / layers.py:191-197)
         x = self.encode_content(x_list, y, input_modalities, use_pose_input,
                                 time_steps, train)
         x = self.unet(x, train=train)

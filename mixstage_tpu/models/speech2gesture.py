@@ -39,8 +39,8 @@ class Speech2Gesture_G(nn.Module):
     @nn.compact
     def __call__(self, x, y=None, time_steps: Optional[int] = None,
                  train: bool = True, **kwargs):
-        if time_steps is None:
-            time_steps = self.time_steps
+        # time_steps=None → audio encoder resizes to its own input length
+        # (whole-interval sampling, reference trainer.py:778-786)
         common = dict(p=self.p, dtype=self.dtype, param_dtype=self.param_dtype)
         x = AudioEncoder(output_feats=time_steps, name="audio_encoder",
                          **common)(x, time_steps=time_steps, train=train)

@@ -1,0 +1,125 @@
+"""Whole-interval sampling + cross-speaker style transfer.
+
+Parity target: ``sample``/``sample_loop`` (reference
+``/root/reference/src/model/trainer.py:705-849``): iterate per-interval
+datasets, run each interval as ONE batch-1 full-length sequence (the nets are
+fully convolutional), enumerate style-transfer targets via ``update_kwargs``
+(trainer.py:1367-1386), update label histograms and the per-style-pair metric
+stacks, and dump predicted keypoints to ``keypoints[_name]/<split>/<speaker>/
+<interval>.h5``.
+
+TPU twist: XLA wants static shapes, so interval lengths are bucketed — the
+window count is padded up to the next power of two (≤ 7 compiled variants per
+split instead of one per unique interval length) and outputs are trimmed.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from mixstage_tpu.data.dataset import DataLoader
+from mixstage_tpu.parallel.parallel import parallel
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _flatten_windows(step_batch: Dict, pad_to: int) -> Dict:
+    """(B, T, ...) windows → one (1, B*T, ...) sequence, padding the window
+    count to ``pad_to`` by repeating the last window."""
+    out = {}
+    for key, val in step_batch.items():
+        if key == "x":
+            out["x"] = tuple(_flatten_one(np.asarray(v), pad_to) for v in val)
+        else:
+            out[key] = _flatten_one(np.asarray(val), pad_to)
+    return out
+
+
+def _flatten_one(v: np.ndarray, pad_to: int) -> np.ndarray:
+    B = v.shape[0]
+    if pad_to > B:
+        pad = np.repeat(v[-1:], pad_to - B, axis=0)
+        v = np.concatenate([v, pad], axis=0)
+    if v.ndim == 3:
+        return v.reshape(1, -1, v.shape[-1])
+    return v.reshape(1, -1)
+
+
+def sample_loop(trainer, desc: str):
+    trainer.metrics_reset()
+    datasets = trainer.data.datasets[desc].datasets
+    running, running_count = {"pose": 0.0}, 1e-10
+    filenames, keys, y_outs = [], [], []
+    collate_fn = trainer.data.dataLoader_kwargs.get("collate_fn")
+
+    len_data = len(datasets)
+    for count, minidata in enumerate(datasets):
+        Y_gt = trainer.get_gt(minidata.path2h5)
+        if len(minidata) == 0:
+            continue
+        loader = DataLoader(minidata, batch_size=len(minidata), shuffle=False,
+                            collate_fn=collate_fn)
+        batch = next(iter(loader))
+        step_batch, y_ = trainer.get_processed_batch(batch)
+        step_batch = {k: (tuple(np.asarray(v) for v in val)
+                          if k == "x" else np.asarray(val))
+                      for k, val in step_batch.items()}
+        B, T = y_.shape[0], y_.shape[1]
+        pad_to = _next_pow2(B)
+        flat = _flatten_windows(step_batch, pad_to)
+
+        interval_id = batch["meta"]["interval_id"][0]
+        speaker = trainer.data.getSpeaker(interval_id)
+        orig_style = flat.get("style")
+        style_id = int(np.asarray(batch["style"]).reshape(-1)[0]) \
+            if "style" in batch else 0
+
+        for style_target, kwargs_name in trainer.update_kwargs_styles(
+                orig_style if orig_style is not None else np.zeros((1, 1))):
+            fb = dict(flat)
+            if trainer.step_cfg.has_style:
+                fb["style"] = np.asarray(style_target, np.int32)
+            from mixstage_tpu.parallel.mesh import shard_batch
+
+            fb = shard_batch(fb, trainer.mesh)
+            losses, y_cap, aux = trainer.steps["eval"](
+                trainer.state, fb, use_pose_input=False, sample_flag=True)
+            trainer._update_labels(aux.get("labels_cap_soft"), desc,
+                                   style=style_id, kwargs_name=kwargs_name)
+            y_cap = np.asarray(y_cap, np.float64).reshape(pad_to, T, -1)[:B]
+            running["pose"] += float(losses["pose"]) * B
+            running_count += B
+
+            idx_style = int(np.asarray(style_target).reshape(-1)[0]) \
+                if trainer.step_cfg.has_style else 0
+            y_cap_out = trainer.calculate_metrics(
+                y_cap, y_, kwargs_name,
+                style=np.asarray(style_target) if trainer.step_cfg.has_style
+                else None)
+
+            dir_name = "keypoints" if kwargs_name is None \
+                else f"keypoints_{kwargs_name}"
+            filenames.append((Path(trainer.dir_name) / dir_name / desc
+                              / speaker / f"{interval_id}.h5").as_posix())
+            keys.append(trainer.output_modality)
+            y_outs.append(y_cap_out)  # (B*T, 2, joints) raw, root-zeroed
+
+        if (count + 1) % 100 == 0 or count == len_data - 1:
+            parallel(trainer.data.modality_classes[trainer.output_modality].append,
+                     -1, filenames, keys, y_outs)
+            filenames, keys, y_outs = [], [], []
+
+    loss_avg = running["pose"] / running_count
+    if trainer.args.metrics:
+        metrics, metrics_split = trainer.get_metrics(desc)
+    else:
+        metrics, metrics_split = {}, {}
+    return loss_avg, metrics, metrics_split

@@ -1,0 +1,599 @@
+"""Experiment lifecycle driver (host side).
+
+Replaces the reference trainer hierarchy
+(``/root/reference/src/model/trainer.py:48-1477``, 12 subclasses assembled by
+name composition) with ONE trainer whose behaviour is derived from the same
+model-name substrings + flags (see ``steps.capabilities_from_name``).  The
+per-batch compute lives in jitted step functions (``train/steps.py``); this
+class owns data, transforms, metrics, bookkeeping, the GAN/curriculum host
+coins, sampling and style transfer.
+
+TPU data parallelism: batches are device-put against a NamedSharding over the
+data axis of a 1-D mesh and the train state is replicated; XLA inserts the
+gradient all-reduces (psum) automatically from the sharding annotations
+(SURVEY.md §5 — the reference is single-device).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import pickle as pkl
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixstage_tpu.bookkeeping import BookKeeper
+from mixstage_tpu.config import Config
+from mixstage_tpu.data.dataset import Data, DataLoader
+from mixstage_tpu.data.transforms import (Compose, KMeansTransform,
+                                          Relative2Parent, RemoveJoints, ZNorm)
+from mixstage_tpu import evaluation
+from mixstage_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                        replicate_state)
+from mixstage_tpu.train.state import make_schedule
+from mixstage_tpu.train.steps import StepConfig, StepFactory
+
+
+def _expand_mask(mask) -> List[int]:
+    """'range(x, y)' strings + ints → flat joint list (trainer.py:69)."""
+    out = []
+    for m in mask:
+        if isinstance(m, int):
+            out.append(m)
+        else:
+            out.extend(list(eval(m, {"range": range})))  # noqa: S307 - reference contract
+    return out
+
+
+class Trainer:
+    """Unified trainer with reference-equivalent behaviour per model family."""
+
+    def __init__(self, args: Config, args_subset=None, args_dict_update=None):
+        self.book = BookKeeper(args, args_subset,
+                               args_dict_update=args_dict_update or {},
+                               tensorboard=args.tb)
+        self.args = args = self.book.args
+
+        self.path2data = args.path2data
+        self.speaker = args.speaker if isinstance(args.speaker, list) \
+            else [args.speaker]
+        self.modalities = args.modalities
+        self.input_modalities = args.input_modalities or self.modalities[1:]
+        self.output_modalities = args.output_modalities or self.modalities[:1]
+        self.output_modality = self.output_modalities[0]
+        self.mask = _expand_mask(args.mask)
+        self.batch_size = args.batch_size
+        self.time = args.time
+        self.fs_new = args.fs_new if isinstance(args.fs_new, list) \
+            else [args.fs_new] * len(self.modalities)
+        self.window_hop = args.window_hop
+        self.num_epochs = args.num_epochs
+        self.num_clusters = args.num_clusters
+        self.feats = args.feats
+        self.style_iters = args.style_iters
+        self.sample_all_styles = args.sample_all_styles
+        self.fp = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                   "float64": jnp.float64}[args.dtype]
+
+        # ------------------------------------------------------------- data
+        self.data = Data(self.path2data, self.speaker, self.modalities,
+                         self.fs_new, time=self.time, split=args.split,
+                         batch_size=self.batch_size,
+                         shuffle=bool(args.shuffle),
+                         window_hop=self.window_hop,
+                         style_iters=self.style_iters,
+                         num_training_sample=args.num_training_sample,
+                         load_data=bool(args.load_data),
+                         sample_all_styles=self.sample_all_styles,
+                         repeat_text=args.repeat_text,
+                         quantile_sample=args.quantile_sample,
+                         quantile_num_training_sample=args.quantile_num_training_sample,
+                         weighted=args.weighted, filler=args.filler,
+                         num_training_iters=args.num_training_iters)
+        self.data_train = self.data.train
+        self.data_dev = self.data.dev
+        self.data_test = self.data.test
+        self.style_dict = self.data.style_dict
+        self.data_shape = self.data.shape
+        self.parents = self.data.modality_classes[self.output_modality].parents
+        print("Data Loaded")
+
+        # --------------------------------------------------------- transforms
+        pre_dir = (Path(self.path2data) / "preprocessing").as_posix()
+        self.cluster = None
+        if self.num_clusters is not None:
+            self.cluster = KMeansTransform(
+                [self.output_modality], savepath=f"{pre_dir}/kmeans",
+                key=self.speaker, data=self.data_train,
+                num_clusters=self.num_clusters, mask=self.mask,
+                feats=self.feats)
+        pre_transforms = []
+        pre_op = None
+        if args.relative2parent:
+            pre_transforms.append(Relative2Parent())
+            pre_op = Compose(list(pre_transforms))
+        hidden = ["text/tokens", "text/filler", "audio/silence"]
+        znorm_modalities = [m for m in self.modalities if m not in hidden]
+        pre_transforms.append(ZNorm(znorm_modalities, savepath=f"{pre_dir}/muvar",
+                                    key=self.speaker, data=self.data_train,
+                                    relative2parent=args.relative2parent,
+                                    pre=pre_op))
+        self.pre = Compose(pre_transforms)
+        self.transform = Compose([RemoveJoints(self.mask, self.parents)])
+
+        # ------------------------------------------------------------- steps
+        out_feats = self.data_shape[self.output_modality][-1] - 2 * len(self.mask)
+        text_channels = None
+        for key in ("text/w2v", "text/bert"):
+            if key in self.data_shape:
+                text_channels = self.data_shape[key][-1]
+        mk = dict(args.modelKwargs or {})
+        steps_per_epoch = max(len(self.data_train), 1)
+        total_steps = steps_per_epoch * self.num_epochs
+        schedule = make_schedule(args.scheduler, args.lr, args.gamma,
+                                 args.scheduler_warmup_steps, total_steps,
+                                 steps_per_epoch)
+        self.step_cfg = StepConfig(
+            model=args.model, gan=bool(args.gan), criterion=args.loss,
+            input_modalities=tuple(self.input_modalities),
+            time_steps=self.data_shape[self.input_modalities[0]][0],
+            out_feats=out_feats, num_clusters=self.num_clusters,
+            num_speakers=len(self.style_dict), style_dim=args.style_dim,
+            text_channels=text_channels, lambda_id=mk.pop("lambda_id", 1.0),
+            train_only=bool(mk.pop("train_only", 0)),
+            softmax=bool(mk.pop("softmax", 1)),
+            argmax=bool(mk.pop("argmax", 0)),
+            some_grad_flag=bool(mk.pop("some_grad_flag", False)),
+            dg_iter_ratio=args.dg_iter_ratio, lambda_gan=args.lambda_gan,
+            lambda_D=args.lambda_D, joint=bool(args.joint),
+            no_grad=bool(args.no_grad), weighted=bool(args.weighted),
+            lr=args.lr, optim=args.optim, noise=args.noise,
+            p_dropout=float(mk.pop("p", 0.0)), dtype=self.fp,
+            model_kwargs=tuple(mk.items()))
+        self.factory = StepFactory(self.step_cfg, g_schedule=schedule,
+                                   d_schedule=schedule,
+                                   donate=bool(args.donate))
+        self.steps = self.factory.make_steps()
+
+        # ------------------------------------------------------- device mesh
+        self.mesh = make_mesh(args.num_devices)
+        self._schedule = schedule
+
+        # --------------------------------------------------------- state/init
+        self._coin = np.random.default_rng(args.seed or 0)
+        batch0 = self._peek_batch()
+        self.state = self.factory.init(jax.random.key(args.seed or 0), batch0)
+        self.state = replicate_state(self.state, self.mesh)
+        self.book._copy_best_model(self.state)
+        print("Model Created")
+        if args.load:
+            print("Loading Model")
+            self.state = self.book._load_model(self.state)
+
+        # ------------------------------------------------------------ metrics
+        self.num_styles = len(self.style_dict)
+        self._init_label_hist()
+        self._init_metrics()
+        self.weight_counter: Dict[int, int] = {}
+
+    # ------------------------------------------------------------------ data
+    def _peek_batch(self):
+        for loader in (self.data_train, self.data_dev, self.data_test):
+            for batch in loader.iter_all(batch_size=2):
+                return self.get_processed_batch(batch)[0]
+        raise RuntimeError("dataset is empty")
+
+    def get_processed_batch(self, batch):
+        """Numpy batch → jitted-step batch (trainer.py:851-863 + cluster/style
+        variants :1221-1239, :1360-1365).  Returns (step_batch, y_unnormed)."""
+        labels = None
+        if self.cluster is not None:
+            transform_cluster = Compose([RemoveJoints(self.mask)])
+            labels = self.cluster(
+                transform_cluster(np.asarray(batch[self.output_modality])))
+        pre_batch = self.pre({k: v for k, v in batch.items()
+                              if isinstance(v, np.ndarray)})
+        x = [np.asarray(pre_batch[mod], np.float64)
+             for mod in self.input_modalities]
+        y_ = np.asarray(pre_batch[self.output_modality])
+        y = self.transform(y_)
+
+        step_batch = {"x": tuple(np.asarray(x_, self.fp) for x_ in x),
+                      "y": np.asarray(y, self.fp)}
+        if labels is not None:
+            step_batch["labels"] = np.asarray(labels, np.int32)
+        if self.step_cfg.has_style or self.step_cfg.is_classifier:
+            step_batch["style"] = np.asarray(batch["style"], np.int32)
+        step_batch = shard_batch(step_batch, self.mesh)
+        return step_batch, y_
+
+    # ----------------------------------------------------------------- coins
+    def _curriculum_coin(self) -> bool:
+        """Pose-input curriculum coin (jlcss4.py:127-129): P(pose input)
+        decays 1→0 over curriculum_iters G-steps."""
+        if not self.step_cfg.has_style:
+            return False
+        thresh = min(int(self.state.curriculum_step)
+                     / max(self.step_cfg.curriculum_iters, 1), 1.0)
+        return bool(self._coin.random() > thresh)
+
+    def _gan_coin(self) -> bool:
+        return bool(self._coin.random() < self.step_cfg.d_prob)
+
+    # ------------------------------------------------------------------ train
+    def train(self, exp_num):
+        for epoch in range(self.num_epochs):
+            train_loss, train_metrics, _ = self.train_loop(
+                self.data_train, "train", epoch, num_iters=self.args.num_iters)
+            dev_loss, dev_metrics, _ = self.train_loop(
+                self.data_dev, "dev", num_iters=self.args.num_iters)
+            test_loss, test_metrics, _ = self.train_loop(
+                self.data_test, "test", num_iters=self.args.num_iters)
+
+            if self.args.weighted:
+                self._renormalize_sampler_weights()
+
+            self.book.update_res({"train": train_loss, "dev": dev_loss,
+                                  "test": test_loss})
+            self.book.update_res(train_metrics)
+            self.book.update_res(dev_metrics)
+            self.book.update_res(test_metrics)
+            self.book._save_res()
+            self.book.print_res(
+                epoch, key_order=["train", "dev", "test"],
+                metric_order=self.metric_order, exp=exp_num,
+                lr=float(self._schedule(int(self.state.step))))
+            if self.book.stop_training(self.state, epoch):
+                break
+
+        if self.args.num_iters > 0:
+            self.state = self.book._load_model(self.state)
+            test_loss, test_metrics, _ = self.train_loop(self.data_test,
+                                                         "test", 0)
+            self.book.update_res({"test": test_loss})
+            self.book.update_res(test_metrics)
+            self.book._save_res()
+
+    def train_loop(self, data, desc, epoch=0, num_iters=0):
+        self.metrics_reset()
+        running = {"total": 0.0}
+        running_count = 1e-10
+        t0 = time.time()
+        for count, batch in enumerate(data):
+            step_batch, y_ = self.get_processed_batch(batch)
+            if "idx" in batch:
+                for i in np.asarray(batch["idx"]).tolist():
+                    self.weight_counter[i] = self.weight_counter.get(i, 0) + 1
+
+            B = step_batch["y"].shape[0]
+            rng = jax.random.key(self._coin.integers(1 << 31))
+            if desc == "train":
+                if self.step_cfg.gan:
+                    if self._gan_coin():
+                        self.state, losses, y_cap = self.steps["d"](
+                            self.state, step_batch, rng,
+                            use_pose_input=self._curriculum_coin())
+                    else:
+                        self.state, losses, y_cap = self.steps["g"](
+                            self.state, step_batch, rng,
+                            use_pose_input=self._curriculum_coin())
+                else:
+                    out = self.steps["train"](self.state, step_batch, rng)
+                    self.state, losses, y_cap = out
+            else:
+                losses, y_cap, aux = self.steps["eval"](self.state, step_batch)
+
+            for k, v in losses.items():
+                running[k] = running.get(k, 0.0) + float(v) * B
+            running_count += B
+
+            if not self.step_cfg.is_classifier:
+                y_cap = np.asarray(y_cap, np.float64)
+                kwargs = {}
+                if "style" in step_batch:
+                    kwargs["style"] = np.asarray(step_batch["style"])
+                self.calculate_metrics(y_cap, y_, "same", **kwargs)
+
+            if self.args.debug and count >= self.args.debug:
+                break
+            if desc != "train" and num_iters > 0 and count >= num_iters:
+                break
+
+        loss_avg = running.get("pose", running["total"]) / running_count
+        if self.args.metrics and not self.step_cfg.is_classifier:
+            metrics, metrics_split = self.get_metrics(desc)
+        elif self.step_cfg.is_classifier:
+            metrics = {f"{desc}_acc": running.get("acc", 0.0) / running_count}
+            metrics_split = {}
+        else:
+            metrics, metrics_split = {}, {}
+        if desc == "train":
+            dt = time.time() - t0
+            metrics[f"{desc}_steps_per_sec"] = (count + 1) / max(dt, 1e-9)
+        return loss_avg, metrics, metrics_split
+
+    def _renormalize_sampler_weights(self):
+        """Weighted-GAN sampler feedback (trainer.py:502-520)."""
+        sampler = self.data_train.sampler
+        if not hasattr(sampler, "weights"):
+            return
+        w = np.asarray(sampler.weights, np.float64)
+        w = (w - w.mean()) / (w.std() + 1e-12) + 1
+        w = np.clip(w, 0.1, 10.0)
+        if np.isnan(w).any():
+            w = np.ones_like(w)
+        sampler.weights = w
+
+    # ---------------------------------------------------------------- metrics
+    def _stack_factory(self):
+        args = self.args
+        speakers = list(self.style_dict.keys())
+        if args.mix and args.load:
+            return partial(evaluation.Stack, n=len(speakers),
+                           speakers=speakers, sample_styles=["mix"])
+        if args.sample_all_styles != 0 and args.load:
+            styles = ["same"] + ["_".join(p) for p in
+                                 itertools.permutations(self.speaker, 2)]
+            return partial(evaluation.Stack, n=len(speakers),
+                           speakers=speakers, sample_styles=styles)
+        if args.load:
+            return partial(evaluation.Stack, n=len(speakers),
+                           speakers=speakers, sample_styles=["same", "style"])
+        return partial(evaluation.Stack, n=0, speakers=[],
+                       sample_styles=["same"])
+
+    def _init_metrics(self):
+        Stack = self._stack_factory()
+        feats_count = self.data_shape[self.output_modality][-1] // 2
+        mean = self.pre.transforms[-1].variable_dict[self.output_modality][0]
+        mean_masked = RemoveJoints(self.mask)(
+            np.asarray(mean).reshape(1, 1, -1))[0, 0]
+        self.pck = Stack(evaluation.PCK(num_joints=feats_count))
+        self.l1 = Stack(evaluation.L1())
+        self.vel_l1 = Stack(evaluation.VelL1())
+        self.diversity = Stack(evaluation.Diversity(mean_masked))
+        self.expressiveness = Stack(evaluation.Expressiveness(mean_masked))
+        self.f1_cluster = KMeansTransform(
+            [self.output_modality],
+            savepath=(Path(self.path2data) / "preprocessing" / "kmeans").as_posix(),
+            key=self.speaker, data=self.data_train, num_clusters=8,
+            mask=self.mask, feats=self.feats, verbose=False)
+        self.f1 = Stack(evaluation.F1(num_clusters=8))
+        self.fid = Stack(evaluation.FID())
+        self.w1 = Stack(evaluation.W1())
+        self.metrics_objects = [self.pck, self.l1, self.vel_l1, self.diversity,
+                                self.expressiveness, self.f1, self.fid, self.w1]
+        self.IS = None
+        if not self.args.pretrained_model:
+            clf_fn = self._load_is_classifier()
+            if clf_fn is not None:
+                speakers_rev = {sp: i for i, sp in
+                                enumerate(self.data.speakers)}
+                weight = np.array([[speakers_rev[sp.split("|")[0]]]
+                                   for sp in self.speaker])
+                self.IS = Stack(evaluation.InceptionScoreStyle(
+                    len(self.data.speakers), weight, clf_fn))
+                self.metrics_objects.append(self.IS)
+
+    def _load_is_classifier(self):
+        """Jitted frozen StyleClassifier forward for the IS metric
+        (metrics.py:305-321).  Returns None when no checkpoint is available
+        (the reference's checkpoint blob is missing from its repo too)."""
+        path = getattr(self.args, "pretrained_model_weights", None)
+        if not path or not Path(path).exists():
+            return None
+        try:
+            from flax import serialization
+
+            from mixstage_tpu.models.style_classifier import StyleClassifier_G
+
+            with open(path, "rb") as f:
+                ckpt = serialization.msgpack_restore(f.read())
+            params = ckpt["g_params"]["gen"]
+            bstats = ckpt["g_state"].get("gen", {})
+            n_speakers = len(self.data.speakers)
+            clf = StyleClassifier_G(in_channels=self.step_cfg.out_feats,
+                                    num_speakers=n_speakers, dtype=self.fp)
+
+            @jax.jit
+            def clf_fn(y):
+                logits, _ = clf.apply({"params": params,
+                                       "batch_stats": bstats}, y, None,
+                                      train=False)
+                return logits
+
+            return lambda y: np.asarray(clf_fn(jnp.asarray(y, self.fp)))
+        except Exception as e:
+            print(f"IS classifier unavailable: {e}")
+            return None
+
+    def metrics_reset(self):
+        for obj in self.metrics_objects:
+            obj.reset()
+
+    @property
+    def metric_order(self):
+        return ["pck", "F1", "style_IS"] if self.args.metrics else []
+
+    def get_metrics(self, desc):
+        metrics, metrics_split = {}, {}
+        for metric in self.metrics_objects:
+            avgs = metric.get_averages(desc)
+            if isinstance(avgs, tuple):
+                metrics.update(avgs[0])
+                if not metrics_split:
+                    metrics_split = {kn: {sp: {} for sp in avgs[1][kn]}
+                                     for kn in avgs[1]}
+                for kn in avgs[1]:
+                    for sp in avgs[1][kn]:
+                        metrics_split[kn][sp].update(avgs[1][kn][sp])
+            else:
+                metrics.update(avgs)
+        return metrics, metrics_split
+
+    def calculate_metrics(self, y_cap, y_, kwargs_name, **kwargs):
+        """Metric cascade in znormed + raw spaces (trainer.py:865-915)."""
+        if kwargs_name is None:
+            kwargs_name = "same"
+        if "style" in kwargs:
+            idx = int(np.asarray(kwargs["style"]).reshape(-1)[0])
+            style_vector = np.asarray(kwargs["style"])
+        else:
+            idx = 0
+            style_vector = np.zeros((y_cap.shape[0], y_cap.shape[1]),
+                                    np.int64)
+        if self.IS is not None:
+            try:
+                self.IS(y_cap, style_vector, self.mask, idx=idx,
+                        kwargs_name=kwargs_name)
+            except Exception:
+                pass
+
+        y_cap_full = self.transform(y_cap, inv=True, batch_gt=y_)
+        self.l1(y_cap_full, y_, self.mask, idx=idx, kwargs_name=kwargs_name)
+        self.vel_l1(y_cap_full, y_, self.mask, idx=idx, kwargs_name=kwargs_name)
+        self.fid(y_cap_full, y_, self.mask, idx=idx, kwargs_name=kwargs_name)
+
+        y_cap_raw = self.pre({self.output_modality: y_cap_full},
+                             inv=True)[self.output_modality]
+        y_raw = self.pre({self.output_modality: np.asarray(y_)},
+                         inv=True)[self.output_modality]
+        B, T = y_cap_raw.shape[0], y_cap_raw.shape[1]
+        y_cap_j = y_cap_raw.reshape(B, T, 2, -1)
+        y_j = y_raw.reshape(B, T, 2, -1)
+        self.w1(y_cap_j, y_j, self.mask, idx=idx, kwargs_name=kwargs_name)
+
+        y_cap_f = y_cap_j.reshape(-1, 2, y_cap_j.shape[-1]).copy()
+        y_f = y_j.reshape(-1, 2, y_j.shape[-1]).copy()
+        y_cap_f[..., 0] = 0
+        y_f[..., 0] = 0
+        self.pck(y_cap_f, y_f, self.mask, idx=idx, kwargs_name=kwargs_name)
+
+        rm = RemoveJoints(self.mask)
+        y_cap_m = rm(y_cap_f.reshape(1, y_cap_f.shape[0], -1),
+                     save_insert=False)[0]
+        y_m = rm(y_f.reshape(1, y_f.shape[0], -1), save_insert=False)[0]
+        self.diversity(y_cap_m, y_m, idx=idx, kwargs_name=kwargs_name)
+        self.expressiveness(y_cap_m, y_m, idx=idx, kwargs_name=kwargs_name)
+        self.f1(self.f1_cluster(y_cap_m[None]), self.f1_cluster(y_m[None]),
+                idx=idx, kwargs_name=kwargs_name)
+        # reference returns the raw root-zeroed (B*T, 2, joints) pose — the
+        # array dumped to the keypoints h5 tree (trainer.py:899-915)
+        return y_cap_f
+
+    # ---------------------------------------------------------- label history
+    def _init_label_hist(self):
+        if self.num_clusters is None:
+            return
+        if self.sample_all_styles:
+            kwargs_names = [f"{s1}_{s2}" for s2 in self.speaker
+                            for s1 in self.speaker if s1 != s2]
+        else:
+            kwargs_names = ["style", "same"]
+        descs = ["test", "train", "dev"]
+        self.labels_hist = {kn: {d: {i: np.zeros(self.num_clusters)
+                                     for i in range(self.num_styles)}
+                                 for d in descs} for kn in kwargs_names}
+        self.labels_hist_tensor = {kn: {d: {i: np.zeros((1, self.num_clusters))
+                                            for i in range(self.num_styles)}
+                                        for d in descs} for kn in kwargs_names}
+
+    def _update_labels(self, labels_cap_soft, desc, style, kwargs_name):
+        if self.num_clusters is None or labels_cap_soft is None:
+            return
+        if kwargs_name is None:
+            kwargs_name = "same"
+        if kwargs_name not in self.labels_hist:
+            return
+        soft = np.asarray(labels_cap_soft).reshape(-1, self.num_clusters)
+        if desc == "test":
+            self.labels_hist_tensor[kwargs_name][desc][style] = np.concatenate(
+                [self.labels_hist_tensor[kwargs_name][desc][style], soft], 0)
+        onehot = np.eye(self.num_clusters)[soft.argmax(-1)]
+        self.labels_hist[kwargs_name][desc][style] += onehot.sum(0)
+
+    def _save_labels(self):
+        if self.num_clusters is None:
+            return
+        speakers = self.speaker
+        hist = {kn: {d: {speakers[i]: self.labels_hist[kn][d][i].tolist()
+                         for i in self.labels_hist[kn][d]}
+                     for d in ["test", "train", "dev"]}
+                for kn in self.labels_hist}
+        json.dump(hist, open(self.book.name("histogram", "json",
+                                            self.book.save_dir), "w"))
+        tensors = {kn: {d: {speakers[i]: self.labels_hist_tensor[kn][d][i]
+                            for i in self.labels_hist_tensor[kn][d]}
+                        for d in ["test", "train", "dev"]}
+                   for kn in self.labels_hist_tensor}
+        pkl.dump(tensors, open(self.book.name("style", "pkl",
+                                              self.book.save_dir), "wb"))
+
+    # ------------------------------------------------------------- experiment
+    def start_exp(self):
+        self.book._start_log()
+
+    def finish_exp(self):
+        self.book._stop_log()
+
+    def get_gt(self, path2h5):
+        from mixstage_tpu.data.hdf5 import HDF5
+
+        Y = HDF5.load_array(path2h5, self.output_modality)
+        feats_shape = self.data_shape[self.output_modality][-1] // 2
+        Y = Y.reshape(-1, 2, feats_shape).copy()
+        Y[..., 0] = 0
+        return Y
+
+    # -------------------------------------------------------------- sampling
+    def update_kwargs_styles(self, style):
+        """Yield (style_array, kwargs_name) per style-transfer target
+        (trainer.py:1367-1386)."""
+        if not self.step_cfg.has_style:
+            yield style, None
+            return
+        style_id = int(np.asarray(style).reshape(-1)[0])
+        if self.sample_all_styles:
+            yield style, None
+            for shift in range(1, self.num_styles):
+                target = (style + shift) % self.num_styles
+                name = "{}_{}".format(self.speaker[style_id],
+                                      self.speaker[(style_id + shift)
+                                                   % self.num_styles])
+                yield target, name
+        else:
+            yield style, None
+            yield (style + 1) % self.num_styles, "style"
+
+    def sample(self, exp_num):
+        from mixstage_tpu.train.sampling import sample_loop
+
+        self.dir_name = self.book.name.dir(self.args.save_dir)
+        self.state = self.book._load_model(self.state)
+        test_loss, test_metrics, test_split = sample_loop(self, "test")
+        train_loss, train_metrics, _ = sample_loop(self, "train")
+        dev_loss, dev_metrics, _ = sample_loop(self, "dev")
+        if self.sample_all_styles == 0:
+            self._save_labels()
+            json.dump(test_split, open(self.book.name(
+                "metrics", "json", self.book.save_dir), "w"))
+            json.dump(test_metrics, open(self.book.name(
+                "cummMetrics", "json", self.book.save_dir), "w"))
+        print("Sampled- Train:{:.4f}/{:.4f}, Dev:{:.4f}/{:.4f}, "
+              "Test:{:.4f}/{:.4f}".format(
+                  train_loss, train_metrics.get("train_pck", 0.0),
+                  dev_loss, dev_metrics.get("dev_pck", 0.0),
+                  test_loss, test_metrics.get("test_pck", 0.0)))
+        self.book.update_res({"train": train_loss, "dev": dev_loss,
+                              "test": test_loss})
+        self.book.update_res(train_metrics)
+        self.book.update_res(dev_metrics)
+        self.book.update_res(test_metrics)
+        self.book.print_res(epoch=0, key_order=["train", "dev", "test"],
+                            metric_order=self.metric_order, exp=exp_num, lr=0)

@@ -1,0 +1,87 @@
+"""End-to-end smoke tests: full train→sample lifecycle on synthetic PATS."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mixstage_tpu.config import config_from_dict
+from mixstage_tpu.data.synthetic import make_synthetic_dataset
+from mixstage_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    path = tmp_path_factory.mktemp("pats_e2e")
+    make_synthetic_dataset(str(path), speakers=["oliver", "maher"],
+                           num_intervals_per_speaker=3)
+    return str(path)
+
+
+def base_cfg(synth, save_dir, **overrides):
+    d = dict(path2data=synth, speaker=["oliver", "maher"],
+             modalities=["pose/data", "audio/log_mel_512"],
+             fs_new=[15, 15], batch_size=4, num_epochs=2, window_hop=5,
+             save_dir=save_dir, exp=1, num_iters=2, debug=2, metrics=1,
+             stop_thresh=10, render=0)
+    d.update(overrides)
+    return config_from_dict(d)
+
+
+@pytest.mark.slow
+def test_s2g_train_and_files(synth, tmp_path_factory):
+    """Minimum end-to-end slice (SURVEY.md §7 stage 4): S2G, L1, no GAN."""
+    save_dir = str(tmp_path_factory.mktemp("save_s2g"))
+    cfg = base_cfg(synth, save_dir, model="Speech2Gesture_G", gan=0,
+                   loss="L1Loss", speaker=["oliver"])
+    trainer = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    trainer.start_exp()
+    trainer.train(exp_num=1)
+    trainer.finish_exp()
+    prefix_files = os.listdir(save_dir)
+    assert any(f.endswith("_res.json") for f in prefix_files)
+    assert any(f.endswith("_weights.p") for f in prefix_files)
+    assert any(f.endswith("_args.args") for f in prefix_files)
+    res = json.load(open([Path(save_dir) / f for f in prefix_files
+                          if f.endswith("_res.json")][0]))
+    assert "train" in res and "dev_pck" in res
+    assert np.isfinite(res["train"]).all()
+
+
+@pytest.mark.slow
+def test_mixstage_gan_train_sample_style_transfer(synth, tmp_path_factory):
+    """Mix-StAGE GAN: train 1 epoch, then sample with style transfer."""
+    save_dir = str(tmp_path_factory.mktemp("save_mix"))
+    cfg = base_cfg(synth, save_dir, model="JointLateClusterSoftStyle4_G",
+                   gan=1, loss="L1Loss", num_clusters=4, num_epochs=1,
+                   style_iters=4, batch_size=4)
+    trainer = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    trainer.start_exp()
+    trainer.train(exp_num=1)
+
+    # restore-from-checkpoint + sampling with window_hop=0
+    cfg2 = base_cfg(synth, save_dir, model="JointLateClusterSoftStyle4_G",
+                    gan=1, loss="L1Loss", num_clusters=4, window_hop=0,
+                    style_iters=4, batch_size=4,
+                    load=trainer.book.name("weights", "p", save_dir))
+    trainer2 = Trainer(cfg2, ["exp", "cpk", "speaker", "model", "note"],
+                       {"window_hop": 0, "sample_all_styles": 0})
+    trainer2.sample(exp_num=1)
+    # keypoints h5 tree exists, incl. the style-transferred variant
+    exp_dir = Path(trainer2.dir_name)
+    assert (exp_dir / "keypoints").exists()
+    assert (exp_dir / "keypoints_style").exists()
+    dumped = list((exp_dir / "keypoints").rglob("*.h5"))
+    assert dumped, "no keypoints were dumped"
+    import h5py
+
+    with h5py.File(dumped[0], "r") as h5:
+        arr = h5["pose/data"][()]
+        assert arr.ndim == 3 and arr.shape[1] == 2  # (T, 2, joints)
+    # histogram + style.pkl artifacts (trainer.py:380-389)
+    files = os.listdir(save_dir)
+    assert any(f.endswith("_histogram.json") for f in files)
+    assert any(f.endswith("_style.pkl") for f in files)
+    assert any(f.endswith("_cummMetrics.json") for f in files)
