@@ -1,0 +1,109 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): pose frames/sec/chip at batch 32 on the flagship
+Mix-StAGE 8-speaker / 8-cluster adversarial training step, vs the PyTorch
+reference measured on CPU fp64 (benchmarks/reference_cpu.json, measured with
+benchmarks/bench_reference.py in this container: 412.8 frames/s).
+
+Also reports p50 audio→pose latency per 64-frame clip as a secondary line on
+stderr-free stdout? No — exactly one JSON line goes to stdout; extras go to
+stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REF_FILE = Path(__file__).parent / "benchmarks" / "reference_cpu.json"
+REF_FRAMES_PER_SEC = 412.78  # measured fallback (1-core CPU, fp64, bs32)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _example_batch, _factory
+    from mixstage_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+
+    ref = REF_FRAMES_PER_SEC
+    if REF_FILE.exists():
+        ref = json.load(open(REF_FILE))["mixstage_gan_train_bs32"]["frames_per_sec"]
+
+    n_chips = len(jax.devices())
+    log(f"devices: {jax.devices()}")
+    B, T = 32 * n_chips, 64
+
+    factory = _factory(donate=False)
+    mesh = make_mesh()
+    batch = _example_batch(B=B)
+    state = factory.init(jax.random.key(0), batch)
+    state = replicate_state(state, mesh)
+    batch = shard_batch(batch, mesh)
+    steps = factory.make_steps()
+
+    # ---- training throughput (G step, the heavier of the two) -------------
+    log("compiling G step…")
+    state, losses, _ = steps["g"](state, batch, jax.random.key(1),
+                                  use_pose_input=False)
+    jax.block_until_ready(losses["total"])
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, losses, _ = steps["g"](state, batch, jax.random.key(i + 2),
+                                      use_pose_input=False)
+    jax.block_until_ready(losses["total"])
+    dt = (time.perf_counter() - t0) / iters
+    frames_per_sec_per_chip = B * T / dt / n_chips
+    log(f"train G-step: {dt * 1e3:.2f} ms/step, "
+        f"{frames_per_sec_per_chip:,.0f} frames/s/chip")
+
+    # ---- D step for completeness ------------------------------------------
+    state, dl, _ = steps["d"](state, batch, jax.random.key(999),
+                              use_pose_input=False)
+    jax.block_until_ready(dl["total"])
+    t0 = time.perf_counter()
+    for i in range(10):
+        state, dl, _ = steps["d"](state, batch, jax.random.key(i),
+                                  use_pose_input=False)
+    jax.block_until_ready(dl["total"])
+    log(f"train D-step: {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms/step")
+
+    # ---- p50 audio→pose latency per 64-frame clip -------------------------
+    clip = _example_batch(B=1, seed=3)
+    clip = shard_batch(clip, mesh)
+    losses, pose, aux = steps["eval"](state, clip, use_pose_input=False,
+                                      sample_flag=True)
+    jax.block_until_ready(pose)
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        losses, pose, aux = steps["eval"](state, clip, use_pose_input=False,
+                                          sample_flag=True)
+        jax.block_until_ready(pose)
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.median(lat)) * 1e3
+    log(f"p50 audio→pose latency (64-frame clip): {p50:.2f} ms "
+        f"(reference CPU: {json.load(open(REF_FILE))['mixstage_infer_clip']['p50_latency_sec'] * 1e3:.1f} ms)"
+        if REF_FILE.exists() else f"p50 latency: {p50:.2f} ms")
+
+    print(json.dumps({
+        "metric": "mixstage_gan_train_pose_frames_per_sec_per_chip_bs32",
+        "value": round(frames_per_sec_per_chip, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(frames_per_sec_per_chip / ref, 2),
+        "extras": {"p50_latency_ms_64frame_clip": round(p50, 2),
+                   "n_chips": n_chips,
+                   "reference_frames_per_sec_cpu": round(ref, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
