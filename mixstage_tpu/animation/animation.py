@@ -1,0 +1,258 @@
+"""Skeleton rendering: pose tensors → videos with captions + audio.
+
+Parity target: reference ``/root/reference/src/animation/animation.py`` —
+``animate`` (:101-249, matplotlib FuncAnimation over LineCollections with
+tapered widths, word-highlight captions, ffmpeg writer + audio mux),
+``save_animation`` (:304-333, joblib fan-out), ``renderGroundTruth``
+(:345-415) and per-cluster ``frames`` PNG dumps (:418-460).
+
+Host-side subsystem.  When the ffmpeg binary is unavailable (as in this
+container) the writer falls back to matplotlib's Pillow GIF writer and the
+audio mux becomes a no-op with a warning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import warnings
+from pathlib import Path
+from typing import List, Optional
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+from matplotlib.animation import FuncAnimation, PillowWriter, writers  # noqa: E402
+from matplotlib.collections import LineCollection  # noqa: E402
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def split_text(text, max_length: int = 27):
+    """Chunk the word table into caption lines (animation.py:28-41)."""
+    text_subs, start, cum_length = [], 0, 0
+    for end, row in text.iterrows():
+        if len(row["Word"]) + 1 + cum_length > max_length:
+            text_subs.append(text.iloc[start:end].reset_index(drop=True))
+            start = end
+            cum_length = len(row["Word"])
+        else:
+            cum_length += len(row["Word"]) + 1
+    if cum_length > 0:
+        text_subs.append(text.iloc[start:])
+    return text_subs
+
+
+def get_line_segments(x, y, num_segments: int = 20):
+    """Subdivide a bone into segments for tapered line widths
+    (animation.py:78-97)."""
+    def get_ranges(a, b):
+        eps = (b - a) / num_segments
+        if eps == 0:
+            return np.repeat(a, repeats=num_segments)
+        return np.arange(a, b + eps, eps)
+
+    X, Y = get_ranges(*x), get_ranges(*y)
+    n = min(X.shape[0], Y.shape[0])
+    seg = np.stack([X[:n], Y[:n]], axis=-1)
+    return np.stack([seg[:-1], seg[1:]], axis=1)
+
+
+def _tapered_widths(min_w, max_w, segs=100):
+    def widths(a, b, n, eps_flag=1):
+        eps = (b - a) / n
+        if eps == 0:
+            return np.repeat(a, repeats=int(n))
+        return np.arange(a, b + eps * int(eps_flag), eps)
+
+    return np.concatenate([widths(min_w, max_w, segs / 2, eps_flag=0),
+                           widths(max_w, min_w, segs / 2, eps_flag=1)])
+
+
+def animate(ys, interval_id, parents, dir_name, desc, data, start, end, idx,
+            subname, text=None, fps: int = 15, bitrate: int = 1000):
+    """Render one interval's pose sequence(s) to video (animation.py:101-249).
+
+    ys: (T, 2, joints) array or list of them (side-by-side subplots,
+    e.g. [prediction, ground truth]).
+    """
+    if not isinstance(ys, list):
+        ys = [ys]
+    ext = "mp4" if have_ffmpeg() else "gif"
+    render_dir = f"render_{subname}" if subname is not None else "render"
+    speaker = data.getSpeaker(interval_id)
+    stem = f"{interval_id}" if idx is None else f"{interval_id}_{idx:03d}"
+    filename = Path(dir_name) / render_dir / desc / speaker / f"{stem}.{ext}"
+    filename_temp = filename.with_name(f"{stem}_temp.{ext}")
+    os.makedirs(filename.parent, exist_ok=True)
+
+    plt.ioff()
+    fig = plt.figure()
+    fig.patch.set_alpha(0.0)
+    C = len(ys)
+    axs = [fig.add_subplot(1, C, c + 1) for c in range(C)]
+    num_segments = 100
+    lwidths1 = _tapered_widths(1, 3, num_segments)
+    lwidths2 = _tapered_widths(1, 1, num_segments)
+    colors = [axs[0].plot([], [])[0].get_color() for _ in parents[1:]]
+
+    def get_line_collections():
+        lns_list = []
+        for i, color in enumerate(colors):
+            lw = lwidths1 if i <= 8 else lwidths2
+            lns_list.append(LineCollection([], linewidths=lw, alpha=1,
+                                           color=color))
+        return lns_list
+
+    lns = [get_line_collections() for _ in axs]
+    for ax, ln in zip(axs, lns):
+        for l in ln:
+            ax.add_collection(l)
+
+    text_subs = split_text(text) if text is not None else None
+    labels: List = []
+    caption_state = {"idx": 0, "end_frame": (text_subs[0].iloc[-1].end_frame
+                                             if text_subs else 0)}
+
+    def init():
+        for ax in axs:
+            ax.set_xticks([])
+            ax.set_yticks([])
+            ax.set_xlim(-500, 500)
+            ax.set_ylim(-500, 500)
+            ax.set_aspect(aspect=1)
+
+    def draw_caption(frame):
+        sub = text_subs[caption_state["idx"]]
+        if frame >= caption_state["end_frame"] and \
+                caption_state["idx"] + 1 < len(text_subs):
+            caption_state["idx"] += 1
+            sub = text_subs[caption_state["idx"]]
+            caption_state["end_frame"] = sub.iloc[-1].end_frame
+        words = list(sub.Word.values)
+        active = sub[frame < sub["end_frame"]]
+        current = active.index[0] - sub.index[0] if len(active) else 0
+        for label in labels:
+            label.remove()
+        labels.clear()
+        x0 = 0.0
+        for i, word in enumerate(words):
+            color = "tab:red" if i == current else "k"
+            weight = "bold" if i == current else "normal"
+            labels.append(axs[0].text(
+                x0 + (len(" ".join(words[:i])) + (1 if i else 0)) / 27, -0.08,
+                word, transform=axs[0].transAxes, c=color, fontweight=weight,
+                fontfamily="monospace", fontsize=13 if C == 1 else 10))
+
+    def update(frame):
+        for i, y in enumerate(ys):
+            for joint, parent in enumerate(parents):
+                if joint != 0:
+                    segments = get_line_segments(
+                        x=[y[frame, 0, parent], y[frame, 0, joint]],
+                        y=[-y[frame, 1, parent], -y[frame, 1, joint]],
+                        num_segments=num_segments)
+                    lns[i][joint - 1].set_segments(segments)
+        if text_subs is not None:
+            draw_caption(frame)
+
+    anim = FuncAnimation(fig, update,
+                         frames=range(min(y.shape[0] for y in ys)),
+                         init_func=init)
+    if have_ffmpeg():
+        writer = writers["ffmpeg"](fps=fps, metadata={}, bitrate=bitrate)
+    else:
+        writer = PillowWriter(fps=fps)
+    if start is not None and have_ffmpeg():
+        anim.save(filename_temp.as_posix(), writer=writer, dpi=400)
+        audio_file = get_audio_file(data, interval_id)
+        if audio_file is not None:
+            add_audio(start, end, audio_file, filename_temp.as_posix(),
+                      filename.as_posix())
+        else:
+            shutil.move(filename_temp.as_posix(), filename.as_posix())
+    else:
+        anim.save(filename.as_posix(), writer=writer)
+    print(f"{filename} saved")
+    plt.close("all")
+    return filename.as_posix()
+
+
+def get_audio_file(data, interval_id) -> Optional[str]:
+    speaker = data.getSpeaker(interval_id)
+    parent = Path(data.path2data) / "raw" / f"{speaker}_cropped"
+    if not parent.exists():
+        return None
+    for f in parent.iterdir():
+        if f.suffix == ".mp3" and f.stem.split("_")[-1] == str(interval_id):
+            return f.as_posix()
+    return None
+
+
+def add_audio(start, end, audio_file, filename_temp, filename):
+    """Mux the interval's audio into the rendered video (animation.py:251-271)."""
+    if not have_ffmpeg():
+        warnings.warn("ffmpeg unavailable; skipping audio mux")
+        shutil.move(filename_temp, filename)
+        return
+    command = ["ffmpeg", "-y", "-ss", str(start), "-i", audio_file,
+               "-i", filename_temp, "-map", "0:a", "-map", "1:v",
+               "-c:v", "copy", "-shortest", filename]
+    subprocess.run(command, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL, check=False)
+    os.remove(filename_temp)
+
+
+def save_animation(y, interval_ids, dir_name, desc, data, start=None,
+                   end=None, idx=None, subname=None, text=None,
+                   output_modalities="pose/data", mask=()):
+    """Thread-parallel fan-out over intervals (animation.py:304-333)."""
+    from mixstage_tpu.parallel.parallel import parallel
+
+    parents = data.modality_classes[output_modalities].parents
+    n = len(interval_ids)
+
+    def listify(v):
+        return v if isinstance(v, list) else [v] * n
+
+    parallel(animate, -1, y, list(interval_ids), [parents] * n,
+             listify(dir_name), listify(desc), [data] * n, listify(start),
+             listify(end), listify(idx), listify(subname), listify(text))
+
+
+def render_ground_truth(args, exp_num):
+    """Render ground-truth intervals (reference renderGroundTruth,
+    animation.py:345-415)."""
+    import pandas as pd
+
+    from mixstage_tpu.data.dataset import Data, DataLoader
+
+    data = Data(args.path2data, args.speaker, args.modalities, args.fs_new,
+                time=args.time, split=args.split, batch_size=args.batch_size,
+                shuffle=bool(args.shuffle))
+    output_modality = args.output_modalities[0]
+    feats_shape = data.shape[output_modality][-1] // 2
+    dir_name = (Path(args.path2outdata) / f"{args.speaker}").as_posix()
+    os.makedirs(dir_name, exist_ok=True)
+
+    for desc in ["train", "dev", "test"]:
+        for minidata in data.datasets[desc].datasets:
+            try:
+                text = pd.read_hdf(minidata.path2h5, "text/meta")
+            except Exception:
+                text = None
+            loader = DataLoader(minidata, batch_size=len(minidata) or 1,
+                                shuffle=False)
+            for batch in loader:
+                y = np.asarray(batch[output_modality])
+                y = y.reshape(-1, 2, feats_shape)
+                y[..., 0] = 0
+                interval_id = batch["meta"]["interval_id"][0]
+                animate(y, interval_id, data.modality_classes[output_modality].parents,
+                        dir_name, desc, data, None, None, None, "gt", text)
+                break

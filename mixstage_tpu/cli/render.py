@@ -1,0 +1,74 @@
+"""Render CLI — predicted-keypoint h5 trees → videos + HTML grid.
+
+Parity target: reference ``src/render.py:19-132``: walk the experiment's
+``keypoints*/`` dirs, load predicted + ground-truth poses, render each
+interval (prediction side-by-side with GT), and build the style-transfer
+video matrix page.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from mixstage_tpu.animation.animation import animate
+from mixstage_tpu.config import Config, argparse_n_loop
+from mixstage_tpu.data.dataset import Data
+from mixstage_tpu.data.hdf5 import HDF5
+from mixstage_tpu.htmlgrid.to_html import make_html_file
+
+
+def render(args: Config, exp_num: int):
+    assert args.load, "pass -load <PREFIX_weights.p> of a sampled experiment"
+    prefix = Path(args.load.replace("_weights.p", ""))
+    exp_dir = prefix
+    if not exp_dir.is_dir():
+        exp_dir = Path(str(prefix))
+    assert exp_dir.exists(), f"experiment dir {exp_dir} not found"
+
+    data = Data(args.path2data, args.speaker, args.modalities, args.fs_new,
+                time=args.time, split=args.split, batch_size=args.batch_size,
+                shuffle=False, window_hop=0)
+    output_modality = (args.output_modalities or args.modalities[:1])[0]
+    feats_shape = data.shape[output_modality][-1] // 2
+    parents = data.modality_classes[output_modality].parents
+
+    render_list = None
+    if args.render_list:
+        render_list = set(open(args.render_list).read().split())
+
+    for kp_dir in sorted(exp_dir.glob("keypoints*")):
+        subname = kp_dir.name.replace("keypoints", "").lstrip("_") or None
+        for h5file in sorted(kp_dir.rglob("*.h5")):
+            interval_id = h5file.stem
+            if render_list and interval_id not in render_list:
+                continue
+            desc = h5file.parent.parent.name
+            y_pred = HDF5.load_array(h5file.as_posix(), output_modality)
+            if y_pred.ndim == 2:
+                y_pred = y_pred.reshape(-1, 2, feats_shape)
+            try:
+                y_gt = HDF5.load_array(data.getPath2file(interval_id),
+                                       output_modality)
+                y_gt = y_gt.reshape(-1, 2, feats_shape).copy()
+                y_gt[..., 0] = 0
+                y_gt = y_gt[:y_pred.shape[0]]
+                ys = [y_pred, y_gt]
+            except Exception:
+                ys = y_pred
+            out = Path(exp_dir)
+            target = (out / (f"render_{subname}" if subname else "render")
+                      / desc / data.getSpeaker(interval_id)
+                      / f"{interval_id}.mp4")
+            if target.exists() and not args.clean_render:
+                continue
+            animate(ys, interval_id, parents, out.as_posix(), desc, data,
+                    None, None, None, subname)
+    page = make_html_file(exp_dir.as_posix())
+    print(f"HTML grid: {page}")
+
+
+if __name__ == "__main__":
+    argparse_n_loop(render)

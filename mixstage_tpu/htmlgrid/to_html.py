@@ -1,0 +1,87 @@
+"""Style-transfer video matrix HTML report.
+
+Parity target: reference ``/root/reference/src/htmlUtils/toHTML.py`` —
+``get_list_files`` (:17-43) scans the speaker×style grid of
+``render_<src>_<tgt>`` dirs and ``makeHTMLfile`` (:56-76) renders a
+``videos.html`` page via jinja2.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List
+
+from jinja2 import Template
+
+_TEMPLATE = Template("""<!DOCTYPE html>
+<html>
+<head>
+  <title>{{ title }}</title>
+  <style>
+    body { font-family: monospace; }
+    table { border-collapse: collapse; }
+    td, th { border: 1px solid #999; padding: 4px; text-align: center; }
+    video { max-width: 320px; }
+  </style>
+</head>
+<body>
+  <h1>{{ title }}</h1>
+  <table>
+    <tr><th>source \\ target</th>
+    {% for tgt in targets %}<th>{{ tgt }}</th>{% endfor %}</tr>
+    {% for src in sources %}
+    <tr><th>{{ src }}</th>
+      {% for tgt in targets %}
+      <td>
+        {% for video in grid.get((src, tgt), []) %}
+        <div>{{ video.rsplit('/', 1)[-1] }}</div>
+        <video controls src="{{ video }}"></video>
+        {% endfor %}
+      </td>
+      {% endfor %}
+    </tr>
+    {% endfor %}
+  </table>
+</body>
+</html>
+""")
+
+
+def get_list_files(view_dir: str, num_videos: int = 2) -> Dict:
+    """Scan render_<src>_<tgt> dirs into a (src, tgt) → [video paths] grid."""
+    view = Path(view_dir)
+    grid: Dict = {}
+    speakers = set()
+    for entry in sorted(view.iterdir()) if view.exists() else []:
+        if not entry.is_dir() or not entry.name.startswith("render"):
+            continue
+        parts = entry.name.split("_")
+        if len(parts) >= 3:
+            src, tgt = parts[1], "_".join(parts[2:])
+        elif len(parts) == 2:
+            src = tgt = parts[1]
+        else:
+            src = tgt = "same"
+        speakers.update([src, tgt])
+        videos = sorted(str(p.relative_to(view))
+                        for p in entry.rglob("*")
+                        if p.suffix in (".mp4", ".gif"))[:num_videos]
+        grid[(src, tgt)] = videos
+    return {"grid": grid, "speakers": sorted(speakers)}
+
+
+def make_html_file(view_dir: str, title: str = "Mix-StAGE style transfer",
+                   num_videos: int = 2) -> str:
+    info = get_list_files(view_dir, num_videos)
+    html = _TEMPLATE.render(title=title, grid=info["grid"],
+                            sources=info["speakers"],
+                            targets=info["speakers"])
+    out = Path(view_dir) / "videos.html"
+    os.makedirs(view_dir, exist_ok=True)
+    out.write_text(html)
+    return out.as_posix()
+
+
+# reference-spelled alias
+makeHTMLfile = make_html_file

@@ -1,0 +1,86 @@
+"""Rendering + HTML grid + audio frontend tests."""
+
+import numpy as np
+import pytest
+
+from mixstage_tpu.data.audio import (log_mel_400, log_mel_512,
+                                     log_mel_spectrogram_jax, mel_filterbank,
+                                     silence_vad)
+from mixstage_tpu.data.skeleton import PARENTS
+from mixstage_tpu.htmlgrid.to_html import make_html_file
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(16000, 512, 64, 125.0, 7500.0, norm=None)
+    assert fb.shape == (64, 257)
+    assert (fb >= 0).all()
+    # every filter has support; peaks move up in frequency
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+    assert fb.sum() > 0
+
+
+def test_log_mel_shapes_and_rate():
+    sr = 16000
+    t = np.linspace(0, 2.0, 2 * sr, endpoint=False)
+    y = np.sin(2 * np.pi * 440 * t)
+    m512 = log_mel_512(y, sr)
+    assert m512.shape[1] == 128
+    m400 = log_mel_400(y, sr)
+    assert m400.shape[1] == 64
+    # ~103 rows/sec for log_mel_400 (fs_map parity)
+    assert abs(m400.shape[0] / 2.0 - 100) < 8
+    assert np.isfinite(m400).all()
+    # 440 Hz tone: energy concentrated in low mel bands
+    band_energy = m400.mean(0)
+    assert band_energy[:16].max() > band_energy[40:].max()
+
+
+def test_jax_frontend_matches_numpy():
+    import jax.numpy as jnp
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(sr,))
+    ref = log_mel_400(y, sr)
+    out = np.asarray(log_mel_spectrogram_jax(jnp.asarray(y, jnp.float64)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_silence_vad_energy_fallback():
+    sr = 16000
+    y = np.concatenate([np.zeros(sr), np.sin(np.linspace(0, 3000, sr))])
+    mask = silence_vad(y, sr)
+    assert mask.ndim == 1 and len(mask) > 0
+    # first second is silence → early entries flag silence more often
+    half = len(mask) // 2
+    assert mask[:half].sum() >= mask[half:].sum()
+
+
+@pytest.mark.slow
+def test_animate_renders_file(tmp_path):
+    from mixstage_tpu.animation.animation import animate
+
+    class FakeData:
+        path2data = "/nonexistent"
+
+        def getSpeaker(self, interval_id):
+            return "oliver"
+
+    y = np.cumsum(np.random.default_rng(0).normal(size=(8, 2, 52)), 0) * 10
+    out = animate(y, "123", PARENTS, str(tmp_path), "test", FakeData(),
+                  None, None, None, None, fps=5)
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_html_grid(tmp_path):
+    (tmp_path / "render_oliver_maher" / "test" / "oliver").mkdir(parents=True)
+    (tmp_path / "render_oliver_maher" / "test" / "oliver" / "1.mp4").touch()
+    (tmp_path / "render" / "test" / "oliver").mkdir(parents=True)
+    page = make_html_file(str(tmp_path))
+    html = open(page).read()
+    assert "oliver" in html and "maher" in html
+    assert "1.mp4" in html
