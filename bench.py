@@ -77,19 +77,31 @@ def main():
     log(f"train D-step: {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms/step")
 
     # ---- p50 audio→pose latency per 64-frame clip -------------------------
-    clip = _example_batch(B=1, seed=3)
-    clip = shard_batch(clip, mesh)
-    losses, pose, aux = steps["eval"](state, clip, use_pose_input=False,
-                                      sample_flag=True)
-    jax.block_until_ready(pose)
+    # production serving path: folded BN + fused Pallas mixture decoder
+    from mixstage_tpu.serve import build_serving_fn
+
+    serve = build_serving_fn(factory, state)
+    clip_audio = _example_batch(B=1, seed=3)["x"][0]
+    style1 = np.zeros((1,), np.int32)
+    jax.block_until_ready(serve(clip_audio, style1))
     lat = []
     for _ in range(50):
         t0 = time.perf_counter()
-        losses, pose, aux = steps["eval"](state, clip, use_pose_input=False,
-                                          sample_flag=True)
-        jax.block_until_ready(pose)
+        jax.block_until_ready(serve(clip_audio, style1))
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat)) * 1e3
+
+    # serving throughput at bs32
+    audio32 = _example_batch(B=32, seed=4)["x"][0]
+    style32 = np.zeros((32,), np.int32)
+    jax.block_until_ready(serve(audio32, style32))
+    st = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(serve(audio32, style32))
+        st.append(time.perf_counter() - t0)
+    serve_fps = 32 * T / float(np.median(st))
+    log(f"serving throughput bs32: {serve_fps:,.0f} frames/s/chip")
     log(f"p50 audio→pose latency (64-frame clip): {p50:.2f} ms "
         f"(reference CPU: {json.load(open(REF_FILE))['mixstage_infer_clip']['p50_latency_sec'] * 1e3:.1f} ms)"
         if REF_FILE.exists() else f"p50 latency: {p50:.2f} ms")
@@ -100,6 +112,7 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(frames_per_sec_per_chip / ref, 2),
         "extras": {"p50_latency_ms_64frame_clip": round(p50, 2),
+                   "serving_frames_per_sec_per_chip_bs32": round(serve_fps, 1),
                    "n_chips": n_chips,
                    "reference_frames_per_sec_cpu": round(ref, 1)},
     }))

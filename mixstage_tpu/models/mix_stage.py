@@ -120,6 +120,29 @@ class JointLateClusterSoftStyle4_G(nn.Module):
                 content = fused
         return content
 
+    def backbone(self, x_list: Sequence[jnp.ndarray], y, style_weights,
+                 input_modalities: Sequence[str],
+                 use_pose_input: bool = False,
+                 time_steps: Optional[int] = None,
+                 train: bool = True):
+        """Everything up to (excluding) the mixture decoder: content encoding
+        → UNet → style concat → cluster classification.  Exposed separately so
+        the serving fast path can splice in the fused Pallas decoder
+        (``mixstage_tpu/serve.py``)."""
+        # time_steps=None lets the audio encoder resize to its own input
+        # length — the sampling path runs whole intervals as one sequence
+        # (reference trainer.py:778-786 / layers.py:191-197)
+        x = self.encode_content(x_list, y, input_modalities, use_pose_input,
+                                time_steps, train)
+        x = self.unet(x, train=train)
+
+        labels_style = self.style_emb(style_weights, mode="lin")  # (B, T, style_dim)
+        x = jnp.concatenate([x, labels_style], axis=-1)           # (B, T, 256+style_dim)
+
+        labels_score = self.classify_cluster(x, train=train)      # (B, T, M)
+        labels_cap_soft = nn.softmax(labels_score, axis=-1)
+        return x, labels_score, labels_cap_soft
+
     def __call__(self, x_list: Sequence[jnp.ndarray], y, style_weights,
                  input_modalities: Sequence[str],
                  use_pose_input: bool = False,
@@ -138,18 +161,9 @@ class JointLateClusterSoftStyle4_G(nn.Module):
         Returns dict with 'pose' (B, T, out_feats), 'labels_score' and
         'labels_cap_soft' (B, T, M).
         """
-        # time_steps=None lets the audio encoder resize to its own input
-        # length — the sampling path runs whole intervals as one sequence
-        # (reference trainer.py:778-786 / layers.py:191-197)
-        x = self.encode_content(x_list, y, input_modalities, use_pose_input,
-                                time_steps, train)
-        x = self.unet(x, train=train)
-
-        labels_style = self.style_emb(style_weights, mode="lin")  # (B, T, style_dim)
-        x = jnp.concatenate([x, labels_style], axis=-1)           # (B, T, 256+style_dim)
-
-        labels_score = self.classify_cluster(x, train=train)      # (B, T, M)
-        labels_cap_soft = nn.softmax(labels_score, axis=-1)
+        x, labels_score, labels_cap_soft = self.backbone(
+            x_list, y, style_weights, input_modalities, use_pose_input,
+            time_steps, train)
 
         # replicate the fused content M times and run the grouped mixture
         # decoder as one conv (jlcss4.py:190-193)

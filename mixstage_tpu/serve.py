@@ -1,0 +1,147 @@
+"""Serving fast path: audio→pose as one jitted graph with the fused decoder.
+
+Production inference path for Mix-StAGE (BASELINE.json north star: serving
+latency).  Compared to the training-graph eval:
+
+* BatchNorm is folded into conv weights across the mixture decoder + logits
+  (``fold_bn_into_conv``) — inference BN is a pure affine;
+* the whole mixture decoder (layer0 + 3 chain layers + grouped 1×1 logits)
+  runs as ONE Pallas kernel (``fused_mixstage_decoder``) with activations
+  resident in VMEM;
+* the backbone (audio encoder, UNet, style embed, cluster classifier) runs as
+  the standard flax eval graph.
+
+``build_serving_fn(factory, state)`` returns a jitted fn
+``(audio, style_ids) -> pose`` for fixed-size 64-frame clips; pass
+``use_pallas=False`` for the XLA-only folded path (CPU / parity testing).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixstage_tpu.ops.mixture import index_select_outputs
+from mixstage_tpu.ops.pallas.fused_conv import (fold_bn_into_conv,
+                                                fused_mixstage_decoder)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def extract_folded_decoder(gen_params, gen_bstats, num_clusters: int,
+                           out_feats: int, eps: float = 1e-5):
+    """Fold BN into the decoder chain + logits; return per-group weights.
+
+    Returns dict with:
+      w0 (G, 3, C0p, C), wc (L-1, G, 3, C, C), biases (G, L, C),
+      w_logits (G, C, F), b_logits (G, F), c0 (unpadded input width).
+    """
+    G = num_clusters
+    layers = sorted([k for k in gen_params if k.startswith("decoder")],
+                    key=lambda s: int(s.replace("decoder", "")))
+    folded = []
+    for name in layers:
+        conv = gen_params[name]["conv"]
+        norm = gen_params[name]["norm"]
+        stats = gen_bstats[name]["norm"]
+        k, b = fold_bn_into_conv(conv["kernel"], conv.get("bias"),
+                                 norm["scale"], norm["bias"],
+                                 stats["mean"], stats["var"], eps)
+        folded.append((k, b))  # k: (3, Cin_pg, G*C)
+
+    k0, b0 = folded[0]
+    K, C0, GC = k0.shape
+    C = GC // G
+    C0p = _round_up(C0, 128)
+    w0 = jnp.stack([jnp.pad(k0[:, :, g * C:(g + 1) * C],
+                            ((0, 0), (0, C0p - C0), (0, 0)))
+                    for g in range(G)])                      # (G, 3, C0p, C)
+    wc = jnp.stack([
+        jnp.stack([k[:, :, g * C:(g + 1) * C] for g in range(G)])
+        for k, _ in folded[1:]])                             # (L-1, G, 3, C, C)
+    biases = jnp.stack([
+        jnp.stack([b[g * C:(g + 1) * C] for k, b in folded])
+        for g in range(G)])                                  # (G, L, C)
+
+    lk = gen_params["logits"]["kernel"]                      # (1, C, G*F)
+    lb = gen_params["logits"].get("bias")
+    F = lk.shape[-1] // G
+    w_logits = jnp.stack([lk[0, :, g * F:(g + 1) * F] for g in range(G)])
+    b_logits = (jnp.stack([lb[g * F:(g + 1) * F] for g in range(G)])
+                if lb is not None else jnp.zeros((G, F), lk.dtype))
+    return {"w0": w0, "wc": wc, "biases": biases, "w_logits": w_logits,
+            "b_logits": b_logits, "c0": C0, "out_feats": F}
+
+
+def folded_decoder_xla(x, fd, groups: int, negative_slope: float = 0.2):
+    """XLA folded decoder (parity / CPU fallback for the Pallas kernel)."""
+    G = groups
+    C0 = fd["c0"]
+    outs = []
+    for g in range(G):
+        h = x[:, :, :C0]
+        w0g = fd["w0"][g][:, :C0, :]
+        h = jax.lax.conv_general_dilated(
+            h, w0g, (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"))
+        h = h + fd["biases"][g, 0][None, None, :]
+        h = jnp.where(h >= 0, h, negative_slope * h)
+        for l in range(fd["wc"].shape[0]):
+            h = jax.lax.conv_general_dilated(
+                h, fd["wc"][l, g], (1,), [(1, 1)],
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            h = h + fd["biases"][g, l + 1][None, None, :]
+            h = jnp.where(h >= 0, h, negative_slope * h)
+        outs.append(h @ fd["w_logits"][g] + fd["b_logits"][g][None, None, :])
+    return jnp.concatenate(outs, axis=-1)
+
+
+def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
+                     batch_tile: int = 16):
+    """Jitted ``(audio (B, T, mel), style_ids (B,)) -> pose (B, T, F)``.
+
+    Weights are passed as explicit jit arguments (NOT closures) — closing over
+    the ~25 MB of folded weights bakes them in as executable constants, which
+    costs ~30 ms of per-call sync latency through the device transport.
+    """
+    cfg = factory.cfg
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    gen_params = jax.device_put(state.g_params["gen"])
+    gen_bstats = jax.device_put(state.g_state["gen"])
+    fd = extract_folded_decoder(
+        state.g_params["gen"], state.g_state["gen"], cfg.num_clusters,
+        cfg.out_feats)
+    c0 = int(fd.pop("c0"))      # static ints must not become tracers
+    fd.pop("out_feats")
+    fd = jax.device_put(fd)
+    G = cfg.num_clusters
+    C0p = fd["w0"].shape[2]
+
+    @jax.jit
+    def serve(gen_params, gen_bstats, fd, audio, style_ids):
+        B, T = audio.shape[0], audio.shape[1]
+        sw = jax.nn.one_hot(style_ids, cfg.num_speakers,
+                            dtype=audio.dtype)[:, None, :].repeat(T, axis=1)
+        y_dummy = jnp.zeros((B, T, cfg.out_feats), audio.dtype)
+        x, _, soft = factory.gen.apply(
+            {"params": gen_params, "batch_stats": gen_bstats},
+            [audio], y_dummy, sw,
+            input_modalities=list(cfg.input_modalities),
+            use_pose_input=False, train=False, method="backbone")
+        if use_pallas:
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, C0p - x.shape[-1])))
+            logits = fused_mixstage_decoder(
+                xp, fd["w0"], fd["wc"], fd["biases"], fd["w_logits"],
+                fd["b_logits"], groups=G, batch_tile=batch_tile)
+        else:
+            logits = folded_decoder_xla(x, {**fd, "c0": c0}, G)
+        return index_select_outputs(logits, soft, G)
+
+    return lambda audio, style_ids: serve(gen_params, gen_bstats, fd,
+                                          audio, style_ids)

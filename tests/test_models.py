@@ -24,7 +24,7 @@ def init_and_apply(model, *args, train=False, **kwargs):
 
 
 def test_speech2gesture_g_shapes():
-    x = jnp.ones((B, 382, MEL))  # raw audio window before subsample-to-64
+    x = jnp.ones((B, 64, MEL))  # raw audio window before subsample-to-64
     model = Speech2Gesture_G(time_steps=T, out_feats=FEATS)
     _, (pose, internal) = init_and_apply(model, x)
     assert pose.shape == (B, T, FEATS)
@@ -69,7 +69,7 @@ def test_emblin_lin_equals_emb_for_onehot():
 @pytest.mark.parametrize("use_pose_input", [False, True])
 def test_mix_stage_generator(use_pose_input):
     S, M = 3, 8
-    audio = jnp.ones((B, 382, MEL))
+    audio = jnp.ones((B, 64, MEL))
     y = jnp.ones((B, T, FEATS))
     style_w = jax.nn.one_hot(jnp.zeros((B, T), jnp.int32), S)
     model = JointLateClusterSoftStyle4_G(time_steps=T, out_feats=FEATS,
@@ -92,7 +92,7 @@ def test_mix_stage_generator(use_pose_input):
 
 def test_mix_stage_batch_stats_update_in_train_mode():
     S, M = 2, 4
-    audio = jnp.ones((B, 382, MEL))
+    audio = jnp.ones((B, 64, MEL))
     y = jnp.ones((B, T, FEATS))
     style_w = jax.nn.one_hot(jnp.zeros((B, T), jnp.int32), S)
     model = JointLateClusterSoftStyle4_G(time_steps=T, out_feats=FEATS,

@@ -1,0 +1,93 @@
+"""Pallas fused-kernel parity tests (interpret mode on CPU) + serving path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixstage_tpu.ops.pallas.fused_conv import (chain_reference,
+                                                fold_bn_into_conv,
+                                                fused_grouped_conv_chain,
+                                                fused_mixstage_decoder)
+
+
+def test_fold_bn_into_conv():
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(3, 8, 16)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(16,)) + 2, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    var = jnp.asarray(rng.random(16) + 0.5, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 10, 8)), jnp.float32)
+
+    conv = lambda x, k, b: jax.lax.conv_general_dilated(
+        x, k, (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC")) + b
+    ref = (conv(x, k, b) - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+    k2, b2 = fold_bn_into_conv(k, b, scale, bias, mean, var)
+    np.testing.assert_allclose(np.asarray(conv(x, k2, b2)), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_chain_matches_reference_interpret():
+    rng = np.random.default_rng(1)
+    B, T, G, C, L = 4, 64, 4, 128, 3
+    x = jnp.asarray(rng.normal(size=(B, T, G * C)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(L, G, 3, C, C)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(L, G * C)) * 0.1, jnp.float32)
+    ref = chain_reference(x, w, b, G)
+    out = fused_grouped_conv_chain(x, w, b, G, interpret=True, batch_tile=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_decoder_matches_reference_interpret():
+    from mixstage_tpu.serve import folded_decoder_xla
+
+    rng = np.random.default_rng(2)
+    B, T, G, C, F, L = 2, 64, 4, 128, 96, 2
+    C0, C0p = 138, 256
+    x = jnp.asarray(rng.normal(size=(B, T, C0)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(G, 3, C0p, C)) * 0.05, jnp.float32)
+    w0 = w0.at[:, :, C0:, :].set(0.0)
+    wc = jnp.asarray(rng.normal(size=(L, G, 3, C, C)) * 0.05, jnp.float32)
+    biases = jnp.asarray(rng.normal(size=(G, L + 1, C)) * 0.1, jnp.float32)
+    wl = jnp.asarray(rng.normal(size=(G, C, F)) * 0.05, jnp.float32)
+    bl = jnp.asarray(rng.normal(size=(G, F)) * 0.1, jnp.float32)
+
+    fd = {"w0": w0, "wc": wc, "biases": biases, "w_logits": wl,
+          "b_logits": bl, "c0": C0}
+    ref = folded_decoder_xla(x, fd, G)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, C0p - C0)))
+    out = fused_mixstage_decoder(xp, w0, wc, biases, wl, bl, groups=G,
+                                 batch_tile=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_serving_fn_matches_training_eval():
+    """The folded-BN serving path must match the flax eval forward."""
+    from mixstage_tpu.serve import build_serving_fn
+    from mixstage_tpu.train.steps import StepConfig, StepFactory
+
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=4, num_speakers=2)
+    factory = StepFactory(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    B, T = 2, 64
+    batch = {
+        "x": (jnp.asarray(rng.normal(size=(B, T, 128)), jnp.float32),),
+        "y": jnp.asarray(rng.normal(size=(B, T, 96)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 4, size=(B, T))),
+        "style": jnp.asarray(np.zeros((B, T)), jnp.int32),
+    }
+    state = factory.init(jax.random.key(0), batch)
+    steps = factory.make_steps()
+    _, pose_ref, _ = steps["eval"](state, batch, use_pose_input=False,
+                                   sample_flag=True)
+
+    serve = build_serving_fn(factory, state, use_pallas=False)
+    pose = serve(batch["x"][0], jnp.zeros((B,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(pose), np.asarray(pose_ref),
+                               rtol=5e-3, atol=5e-3)

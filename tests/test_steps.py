@@ -8,7 +8,7 @@ import pytest
 from mixstage_tpu.train.steps import StepConfig, StepFactory, capabilities_from_name
 
 B, T, MEL, FEATS = 2, 64, 128, 96
-AUDIO_T = 382
+AUDIO_T = 64  # MiniData strides fs 89 -> 15, so windows are 64 audio frames
 
 
 def make_batch(cfg, seed=0):
