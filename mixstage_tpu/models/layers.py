@@ -147,14 +147,32 @@ class UNet1D(nn.Module):
         return x
 
 
-def resize_bilinear_time(x, time_steps: int):
-    """Bilinear resize of (B, H, W, C) to (B, time_steps, 1, C) then squeeze W.
+def _bilinear_axis(x, out_size: int, axis: int):
+    """Torch-style bilinear sampling along one axis: half-pixel centers,
+    NO antialiasing (``F.interpolate(mode='bilinear', align_corners=False)``).
+    jax.image.resize antialiases on downscale, which torch does not."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    src = (jnp.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+    src = jnp.clip(src, 0.0, in_size - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(x.dtype)
+    xlo = jnp.take(x, lo, axis=axis)
+    xhi = jnp.take(x, hi, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    frac = frac.reshape(shape)
+    return xlo * (1 - frac) + xhi * frac
 
-    Matches torch ``F.interpolate(mode='bilinear', align_corners=False)``
-    (layers.py:197) — jax.image.resize uses half-pixel centers too.
-    """
-    B, _, _, C = x.shape
-    x = jax.image.resize(x, (B, time_steps, 1, C), method="bilinear")
+
+def resize_bilinear_time(x, time_steps: int):
+    """Bilinear resize of (B, H, W, C) to (B, time_steps, 1, C), then squeeze
+    W — the reference's ``F.interpolate(size=(time_steps, 1))`` at
+    layers.py:197, reproduced bit-faithfully (see ``_bilinear_axis``)."""
+    x = _bilinear_axis(x, time_steps, axis=1)
+    x = _bilinear_axis(x, 1, axis=2)
     return x[:, :, 0, :]
 
 
