@@ -206,6 +206,33 @@ class StepFactory:
             return jnp.concatenate([v] + xs, axis=-1)
         return v
 
+    def _estimate_weights(self, d_params, d_state, real_v):
+        """Per-sample importance weights from the 2-class discriminator.
+
+        The reference selects a ``GANWeighted`` wrapper when -weighted is set
+        (trainer.py:1059-1062) but never defines it (the flag would NameError
+        upstream); we implement the documented intent: D has out_shape=2
+        (trainer.py:1061) and samples the discriminator finds unconvincing as
+        "real" get up-weighted in the sampler and down-weighted in the G loss
+        (1/W, gan.py:145-147)."""
+        score, _ = self.disc.apply({"params": d_params,
+                                    "batch_stats": d_state}, real_v,
+                                   train=False)
+        p_real = jax.nn.softmax(score, axis=-1)[..., 1].mean(axis=1)
+        W = 1.0 / jnp.clip(p_real, 1e-3, 1.0)
+        return jax.lax.stop_gradient(jnp.clip(W, 0.1, 10.0))
+
+    def _confidence_loss(self, batch, y, pose):
+        """Additive Gaussian-entropy confidence loss when the batch carries
+        pose/confidence (reference trainer.py:345-355, 645)."""
+        if batch.get("confidence") is None:
+            return jnp.zeros((), self.cfg.dtype)
+        from mixstage_tpu.models.layers import confidence_entropy_loss
+
+        conf = batch["confidence"].reshape(y.shape)
+        return confidence_entropy_loss(y, pose, conf, beta=1.0,
+                                       epsilon=0.5).mean()
+
     def _style_weights_train(self, psenc_score, T):
         """Broadcast per-window speaker scores over time and soft/hard select
         (jlcss4.py:158-167)."""
@@ -363,7 +390,8 @@ class StepFactory:
                 g_params, state.g_state, batch, use_pose_input, True, False,
                 drop_rng)
             pose_loss = self.criterion(pose, y).mean()
-            total = pose_loss + sum(internal.values())
+            conf_loss = self._confidence_loss(batch, y, pose)
+            total = pose_loss + conf_loss + sum(internal.values())
             return total, (pose, internal, g_state, pose_loss)
 
         (total, (pose, internal, g_state, pose_loss)), grads = \
@@ -388,7 +416,11 @@ class StepFactory:
             y = y + cfg.noise * jax.random.normal(noise_rng, y.shape, y.dtype)
             batch = {**batch, "y": y}
         lambda_gan = L.lambda_schedule(state.lambda_step, cfg.lambda_gan)
-        W = jnp.ones((y.shape[0],), cfg.dtype)
+        if cfg.weighted:
+            W = self._estimate_weights(state.d_params, state.d_state,
+                                       self._d_input(y, batch["x"]))
+        else:
+            W = jnp.ones((y.shape[0],), cfg.dtype)
 
         def loss_fn(g_params):
             pose, internal, g_state, aux = self._forward(
@@ -405,7 +437,8 @@ class StepFactory:
                 self.criterion(d_score, jnp.ones_like(d_score)), 1.0 / W)
             pose_loss = L.sample_wise_weight_mean(
                 self.criterion(pose, y), 1.0 / W)
-            total = pose_loss + G_gan + sum(internal.values())
+            conf_loss = self._confidence_loss(batch, y, pose)
+            total = pose_loss + G_gan + conf_loss + sum(internal.values())
             return total, (pose, internal, g_state, d_state, pose_loss, G_gan)
 
         (total, (pose, internal, g_state, d_state, pose_loss, G_gan)), grads = \
@@ -418,7 +451,8 @@ class StepFactory:
             d_state=d_state, step=state.step + 1, g_step=state.g_step + 1,
             lambda_step=state.lambda_step + 1,
             curriculum_step=state.curriculum_step + 1)
-        losses = {"pose": pose_loss, "G_gan": G_gan, "total": total, **internal}
+        losses = {"pose": pose_loss, "G_gan": G_gan, "total": total,
+                  "W": W, **internal}
         return new_state, losses, pose
 
     # -- GAN D step (gan.py:105-132) -----------------------------------------
@@ -431,7 +465,11 @@ class StepFactory:
             y = y + cfg.noise * jax.random.normal(noise_rng, y.shape, y.dtype)
             batch = {**batch, "y": y}
         lambda_D = L.lambda_schedule(state.lambda_step, cfg.lambda_D)
-        W = jnp.ones((y.shape[0],), cfg.dtype)
+        if cfg.weighted:
+            W = self._estimate_weights(state.d_params, state.d_state,
+                                       self._d_input(y, batch["x"]))
+        else:
+            W = jnp.ones((y.shape[0],), cfg.dtype)
 
         # G in eval mode + no grad (gan.py:106-110): running stats, no updates
         pose, internal, _, aux = self._forward(
@@ -464,7 +502,8 @@ class StepFactory:
         new_state = state.replace(
             d_params=d_params, d_state=d_state, d_opt_state=d_opt_state,
             step=state.step + 1, lambda_step=state.lambda_step + 1)
-        losses = {"real_D": real_D, "fake_D": fake_D, "total": total, **internal}
+        losses = {"real_D": real_D, "fake_D": fake_D, "total": total,
+                  "W": W, **internal}
         return new_state, losses, pose
 
     # -- eval / sampling ------------------------------------------------------

@@ -80,6 +80,9 @@ class Trainer:
         self.sample_all_styles = args.sample_all_styles
         self.fp = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
                    "float64": jnp.float64}[args.dtype]
+        if args.dtype == "float64":
+            # fp64 parity mode vs the reference (trainer.py:138); CPU backend
+            jax.config.update("jax_enable_x64", True)
 
         # ------------------------------------------------------------- data
         self.data = Data(self.path2data, self.speaker, self.modalities,
@@ -206,6 +209,10 @@ class Trainer:
 
         step_batch = {"x": tuple(np.asarray(x_, self.fp) for x_ in x),
                       "y": np.asarray(y, self.fp)}
+        if "pose/confidence" in batch:
+            conf = Compose([RemoveJoints(self.mask)])(
+                np.asarray(batch["pose/confidence"]))
+            step_batch["confidence"] = np.asarray(conf, self.fp)
         if labels is not None:
             step_batch["labels"] = np.asarray(labels, np.int32)
         if self.step_cfg.has_style or self.step_cfg.is_classifier:
@@ -261,11 +268,18 @@ class Trainer:
             self.book._save_res()
 
     def train_loop(self, data, desc, epoch=0, num_iters=0):
+        from mixstage_tpu.train.profiling import StepTimer, trace
+
         self.metrics_reset()
         running = {"total": 0.0}
         running_count = 1e-10
         t0 = time.time()
+        timer = StepTimer(desc)
+        profile_ctx = trace(self.args.profile_dir
+                            if desc == "train" and epoch == 0 else None)
+        profile_ctx.__enter__()
         for count, batch in enumerate(data):
+            timer.start()
             step_batch, y_ = self.get_processed_batch(batch)
             if "idx" in batch:
                 for i in np.asarray(batch["idx"]).tolist():
@@ -290,8 +304,17 @@ class Trainer:
                 losses, y_cap, aux = self.steps["eval"](self.state, step_batch)
 
             for k, v in losses.items():
-                running[k] = running.get(k, 0.0) + float(v) * B
+                if np.ndim(v) == 0:
+                    running[k] = running.get(k, 0.0) + float(v) * B
             running_count += B
+
+            # weighted-GAN sampler feedback (trainer.py:622-625)
+            if (desc == "train" and self.args.weighted and "W" in losses
+                    and hasattr(self.data_train.sampler, "weights")):
+                idx = np.asarray(batch.get("idx", []))
+                if idx.size:
+                    W = np.clip(np.asarray(losses["W"], np.float64), 0.1, None)
+                    self.data_train.sampler.weights[idx[:len(W)]] = W[:len(idx)]
 
             if not self.step_cfg.is_classifier:
                 y_cap = np.asarray(y_cap, np.float64)
@@ -300,10 +323,12 @@ class Trainer:
                     kwargs["style"] = np.asarray(step_batch["style"])
                 self.calculate_metrics(y_cap, y_, "same", **kwargs)
 
+            timer.stop()
             if self.args.debug and count >= self.args.debug:
                 break
             if desc != "train" and num_iters > 0 and count >= num_iters:
                 break
+        profile_ctx.__exit__(None, None, None)
 
         loss_avg = running.get("pose", running["total"]) / running_count
         if self.args.metrics and not self.step_cfg.is_classifier:
@@ -316,6 +341,7 @@ class Trainer:
         if desc == "train":
             dt = time.time() - t0
             metrics[f"{desc}_steps_per_sec"] = (count + 1) / max(dt, 1e-9)
+            metrics.update(timer.summary(prefix=""))
         return loss_avg, metrics, metrics_split
 
     def _renormalize_sampler_weights(self):
