@@ -672,3 +672,29 @@ class Data(Modality):
             length = len(range(start, end, interval))
             shape[modality] = [length, feats_shape[-1]]
         return shape
+
+
+class DataSample(Data):
+    """Data variant whose h5 files are an experiment's *predicted* keypoints
+    (reference ``DataSample``, dataUtils.py:618-655) — used to render/evaluate
+    saved samples from a view directory."""
+
+    def __init__(self, path2data, speaker, view=None, **kwargs):
+        self.view = view
+        super().__init__(path2data, speaker, **kwargs)
+
+    def get_tdt(self, interval_id):
+        return self.get_df_subset("interval_id", interval_id).iloc[0].dataset
+
+    def getPath2file(self, interval_id):
+        return (Path(self.view) / "keypoints" / self.get_tdt(interval_id)
+                / self.getSpeaker(interval_id)
+                / str(interval_id)).as_posix() + ".h5"
+
+    def get_minidata_list(self, intervals):
+        import os
+
+        existing = [i for i in intervals
+                    if os.path.exists(self.getPath2file(i))]
+        return [MiniData(self.getPath2file(i), style=self.getStyle(i),
+                         **self.minidataKwargs) for i in existing]

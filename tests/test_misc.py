@@ -1,0 +1,142 @@
+"""Config sweep + bookkeeping + schedule unit tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mixstage_tpu.bookkeeping import BookKeeper
+from mixstage_tpu.config import (Config, argparse_n_loop, config_from_dict,
+                                 get_args_perm)
+
+
+def test_config_sweep():
+    """Cartesian product over list-valued flags (argsUtils.py:245-258)."""
+    seen = []
+    argparse_n_loop(lambda cfg, i: seen.append((i, cfg.lr, cfg.batch_size)),
+                    argv=["-lr", "0.1", "0.2", "-batch_size", "8", "16"])
+    assert len(seen) == 4
+    assert {(lr, bs) for _, lr, bs in seen} == \
+        {(0.1, 8), (0.1, 16), (0.2, 8), (0.2, 16)}
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = config_from_dict({"speaker": ["oliver"], "lr": 0.5,
+                            "modelKwargs": {"p": 0.2}})
+    path = tmp_path / "c.json"
+    cfg.save(str(path))
+    from mixstage_tpu.config import load_config
+
+    cfg2 = load_config(str(path))
+    assert cfg2.lr == 0.5 and cfg2.modelKwargs == {"p": 0.2}
+
+
+class _FakeState:
+    """Minimal TrainState-like object for bookkeeping tests."""
+
+    def __init__(self, val=0.0):
+        self.g_params = {"w": np.array([val])}
+        self.g_state = {}
+        self.d_params = None
+        self.d_state = None
+
+    def replace(self, **kw):
+        out = _FakeState()
+        out.__dict__.update(self.__dict__)
+        out.__dict__.update(kw)
+        return out
+
+
+def _book(tmp_path, **over):
+    d = dict(save_dir=str(tmp_path), exp=7, cpk="m", speaker=["oliver"],
+             model="Speech2Gesture_G", dev_key="dev", dev_sign=1,
+             stop_thresh=2, eps=0.0, min_epochs=0, early_stopping=1,
+             greedy_save=1, save_model=1, overfit=0, seed=1)
+    d.update(over)
+    return BookKeeper(config_from_dict(d))
+
+
+def test_bookkeeper_prefix_contract(tmp_path):
+    book = _book(tmp_path)
+    assert book.name.prefix == "exp_7_cpk_m_speaker_['oliver']_model_Speech2Gesture_G"
+    assert os.path.exists(book.name("args", "args", str(tmp_path)))
+    assert os.path.exists(book.name("name", "name", str(tmp_path)))
+
+
+def test_bookkeeper_early_stop_and_greedy_save(tmp_path):
+    book = _book(tmp_path)
+    state = _FakeState(1.0)
+    # improving epochs: no stop, weights saved
+    for epoch, dev in enumerate([1.0, 0.9, 0.8]):
+        book.update_res({"dev": dev})
+        assert not book.stop_training(state, epoch)
+    assert os.path.exists(book.name("weights", "p", str(tmp_path)))
+    assert book.best_dev_score == 0.8
+    # two consecutive non-improvements → stop (stop_thresh=2)
+    book.update_res({"dev": 0.9})
+    assert not book.stop_training(state, 3)
+    book.update_res({"dev": 0.95})
+    assert book.stop_training(state, 4)
+
+
+def test_bookkeeper_dev_sign_and_spatial_key(tmp_path):
+    book = _book(tmp_path, dev_key="dev_spatialNorm", dev_sign=1)
+    state = _FakeState()
+    book.update_res({"dev": 1.0, "dev_spatialNorm": 0.5})
+    assert not book.stop_training(state, 0)
+    assert book.best_dev_score == 0.5
+
+
+def test_bookkeeper_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from mixstage_tpu.train.state import TrainState
+
+    book = _book(tmp_path)
+    state = TrainState(g_params={"w": jnp.arange(4.0)},
+                       g_state={"bn": jnp.ones(2)}, g_opt_state=None)
+    book._save_model(state)
+    blank = TrainState(g_params={"w": jnp.zeros(4)},
+                       g_state={"bn": jnp.zeros(2)}, g_opt_state=None)
+    restored = book._load_model(blank)
+    np.testing.assert_array_equal(np.asarray(restored.g_params["w"]),
+                                  np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(restored.g_state["bn"]),
+                                  np.ones(2))
+
+
+def test_restore_args_from_checkpoint(tmp_path):
+    book = _book(tmp_path, lr=0.123)
+    weights = book.name("weights", "p", str(tmp_path))
+    open(weights, "wb").write(b"x")
+    cfg = config_from_dict({"load": weights, "lr": 999.0})
+    book2 = BookKeeper(cfg, args_dict_update={"window_hop": 0})
+    # restored from the _args.args next to the checkpoint
+    assert book2.args.lr == 0.123
+    assert book2.args.window_hop == 0
+    assert book2.args.load == weights
+
+
+def test_lambda_schedule():
+    from mixstage_tpu.train.losses import lambda_schedule
+
+    assert float(lambda_schedule(0, 1.0)) == 1.0
+    assert float(lambda_schedule(150, 1.0)) == pytest.approx(1.5)
+    assert float(lambda_schedule(300, 1.0)) == 2.0
+    assert float(lambda_schedule(10000, 1.0)) == 2.0
+
+
+def test_make_schedule_exponential_and_linear():
+    from mixstage_tpu.train.state import make_schedule
+
+    sched = make_schedule(None, lr=1.0, gamma=0.5, warmup_steps=0,
+                          total_steps=100, steps_per_epoch=10)
+    assert float(sched(0)) == 1.0
+    assert float(sched(10)) == pytest.approx(0.5)   # epoch 1
+    assert float(sched(25)) == pytest.approx(0.25)  # epoch 2
+    lin = make_schedule("linear_decay", lr=1.0, gamma=0.99, warmup_steps=10,
+                        total_steps=110, steps_per_epoch=10)
+    assert float(lin(5)) == pytest.approx(0.5)
+    assert float(lin(10)) == pytest.approx(1.0)
+    assert float(lin(110)) == pytest.approx(0.0)
