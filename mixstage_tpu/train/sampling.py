@@ -86,6 +86,11 @@ def sample_loop(trainer, desc: str):
                 orig_style if orig_style is not None else np.zeros((1, 1))):
             fb = dict(flat)
             if trainer.step_cfg.has_style:
+                if isinstance(style_target, str) and style_target == "__mix__":
+                    S = trainer.step_cfg.num_speakers
+                    fb["style_soft"] = np.full(
+                        flat["style"].shape + (S,), 1.0 / S)
+                    style_target = orig_style
                 fb["style"] = np.asarray(style_target, np.int32)
             from mixstage_tpu.parallel.mesh import shard_batch
 

@@ -303,6 +303,11 @@ class StepFactory:
             new_state["psenc"] = ps_bs
             id_in = L.cross_entropy(score, batch["style"][:, 0])
             style_weights = self._style_weights_train(score, T)
+        elif batch.get("style_soft") is not None:
+            # explicit soft style weights: out-of-domain embeddings / style
+            # mixtures (reference 'lin' path, jlcss4.py:172-173, -mix flag)
+            id_in = jnp.zeros((), cfg.dtype)
+            style_weights = batch["style_soft"].astype(cfg.dtype)
         else:
             id_in = jnp.zeros((), cfg.dtype)
             style_weights = jax.nn.one_hot(batch["style"].astype(jnp.int32),

@@ -196,7 +196,11 @@ class Trainer:
         """Numpy batch → jitted-step batch (trainer.py:851-863 + cluster/style
         variants :1221-1239, :1360-1365).  Returns (step_batch, y_unnormed)."""
         labels = None
-        if self.cluster is not None:
+        if self.args.pos and "text/pos" in batch:
+            # POS tag classes as cluster labels (reference -pos flag,
+            # trainer.py:127-129, text.py:539-572)
+            labels = np.asarray(batch["text/pos"], np.int64)
+        elif self.cluster is not None:
             transform_cluster = Compose([RemoveJoints(self.mask)])
             labels = self.cluster(
                 transform_cluster(np.asarray(batch[self.output_modality])))
@@ -278,9 +282,14 @@ class Trainer:
         profile_ctx = trace(self.args.profile_dir
                             if desc == "train" and epoch == 0 else None)
         profile_ctx.__enter__()
-        for count, batch in enumerate(data):
+        from mixstage_tpu.data.prefetch import prefetch
+
+        # overlap host batch prep + device_put with device compute
+        prepared = prefetch(data,
+                            lambda b: (b, self.get_processed_batch(b)),
+                            depth=2)
+        for count, (batch, (step_batch, y_)) in enumerate(prepared):
             timer.start()
-            step_batch, y_ = self.get_processed_batch(batch)
             if "idx" in batch:
                 for i in np.asarray(batch["idx"]).tolist():
                     self.weight_counter[i] = self.weight_counter.get(i, 0) + 1
@@ -585,6 +594,11 @@ class Trainer:
             yield style, None
             return
         style_id = int(np.asarray(style).reshape(-1)[0])
+        if self.args.mix:
+            # uniform mixture over all learned styles (reference -mix flag)
+            yield style, None
+            yield ("__mix__", "mix")
+            return
         if self.sample_all_styles:
             yield style, None
             for shift in range(1, self.num_styles):
