@@ -84,12 +84,46 @@ class DataLoader:
 
     def iter_all(self, batch_size: int = 32):
         """Sequential sweep of the whole dataset irrespective of the sampler —
-        used by ZNorm/KMeans statistics (reference transform.py:200-204)."""
+        used by ZNorm/KMeans statistics (reference transform.py:200-204).
+
+        Fast path: for plain (no-text) MiniData concatenations the windows of
+        each interval are gathered in bulk by the native C++ assembler
+        (mixstage_tpu/native) instead of per-item python __getitem__.
+        """
+        ds = self.dataset
+        if (isinstance(ds, ConcatDatasetIndex) and ds.datasets
+                and all(isinstance(d, MiniData) and not d.text_in_modalities
+                        for d in ds.datasets)):
+            yield from self._iter_all_bulk(batch_size)
+            return
         for start in range(0, len(self.dataset), batch_size):
             items = [self.dataset[i]
                      for i in range(start, min(start + batch_size,
                                                len(self.dataset)))]
             yield self.collate_fn(items)
+
+    def _iter_all_bulk(self, batch_size: int):
+        from mixstage_tpu.data.native import gather_windows
+
+        for md in self.dataset.datasets:
+            n = len(md)
+            if n == 0:
+                continue
+            arrays = {}
+            for i, modality in enumerate(md.modalities):
+                starts = np.ascontiguousarray(
+                    md.idx_start_list_dict[modality][:n], np.int64)
+                stride = md.idx_interval_dict[modality]
+                window = int(md.idx_end_list_dict[modality][0]
+                             - md.idx_start_list_dict[modality][0])
+                steps = len(range(0, window, stride))
+                arrays[modality] = gather_windows(md.data[i], starts,
+                                                  steps, stride)
+            style = np.zeros((n, arrays[md.modalities[0]].shape[1])) + md.style
+            for b0 in range(0, n, batch_size):
+                batch = {m: a[b0:b0 + batch_size] for m, a in arrays.items()}
+                batch["style"] = style[b0:b0 + batch_size]
+                yield batch
 
 
 # ---------------------------------------------------------------------------

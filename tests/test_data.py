@@ -147,3 +147,17 @@ def test_dataloader_iter_all_is_sequential():
     seen = [b["pose"] for b in loader.iter_all(batch_size=4)]
     np.testing.assert_array_equal(np.concatenate(seen),
                                   np.arange(10, dtype=float) + 1)
+
+
+def test_iter_all_bulk_matches_per_item(data):
+    """The native bulk sweep must yield exactly the per-item windows."""
+    loader = data.train
+    bulk = list(loader.iter_all(batch_size=16))
+    # per-item reference path
+    items = [loader.dataset[i] for i in range(len(loader.dataset))]
+    per_item = np.concatenate([it["pose/data"][None] for it in items])
+    bulk_cat = np.concatenate([b["pose/data"] for b in bulk])
+    np.testing.assert_array_equal(bulk_cat, per_item)
+    audio_b = np.concatenate([b["audio/log_mel_512"] for b in bulk])
+    audio_i = np.concatenate([it["audio/log_mel_512"][None] for it in items])
+    np.testing.assert_array_equal(audio_b, audio_i)
