@@ -37,5 +37,9 @@ def loop(args: Config, exp_num: int):
         print(f"{modality} preprocessing done")
 
 
-if __name__ == "__main__":
+def main():
     argparse_n_loop(loop)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,5 +70,9 @@ def render(args: Config, exp_num: int):
     print(f"HTML grid: {page}")
 
 
-if __name__ == "__main__":
+def main():
     argparse_n_loop(render)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,5 +19,9 @@ def loop(args: Config, exp_num: int):
     trainer.finish_exp()
 
 
-if __name__ == "__main__":
+def main():
     argparse_n_loop(loop)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,5 +77,9 @@ def loop(args: Config, exp_num: int):
     print(f"\nExperiment Number: {args.exp}")
 
 
-if __name__ == "__main__":
+def main():
     argparse_n_loop(loop)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,29 @@ def test_mixstage_gan_train_sample_style_transfer(synth, tmp_path_factory):
     assert any(f.endswith("_histogram.json") for f in files)
     assert any(f.endswith("_style.pkl") for f in files)
     assert any(f.endswith("_cummMetrics.json") for f in files)
+
+
+@pytest.mark.slow
+def test_all_speakers_and_is_metric_pipeline(synth, tmp_path_factory):
+    """speaker='all' expands to the 25-speaker registry; a StyleClassifier
+    trained by this framework feeds the style-IS metric (the reference's
+    missing pretrained blob regenerated, SURVEY.md §2 metrics row)."""
+    save_dir = str(tmp_path_factory.mktemp("save_all"))
+    # 1) train the style classifier briefly
+    clf_cfg = base_cfg(synth, save_dir, model="StyleClassifier_G", gan=0,
+                       speaker=["all"], num_epochs=1, exp=11)
+    clf = Trainer(clf_cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    assert clf.step_cfg.num_speakers == 25  # full registry
+    clf.train(exp_num=11)
+    clf_weights = clf.book.name("weights", "p", save_dir)
+    assert os.path.exists(clf_weights)
+
+    # 2) Mix-StAGE trainer consumes it for the IS metric
+    cfg = base_cfg(synth, save_dir, model="JointLateClusterSoftStyle4_G",
+                   gan=1, num_clusters=2, num_epochs=1, exp=12,
+                   pretrained_model_weights=clf_weights)
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    assert tr.IS is not None
+    loss, metrics, _ = tr.train_loop(tr.data_dev, "dev", num_iters=1)
+    assert any(k.startswith("dev_style_IS") for k in metrics)
+    assert np.isfinite(metrics["dev_style_IS"])

@@ -152,3 +152,32 @@ def test_classifier_step():
     assert np.isfinite(float(losses["pose"]))
     ev_losses, ev_logits, _ = steps["eval"](state, batch)
     assert "acc" in ev_losses
+
+
+def test_sampling_is_bit_deterministic(mixstage_factory, mixstage_state):
+    """Style-transfer sampling must be bit-compatible across runs
+    (BASELINE.json target)."""
+    f, state = mixstage_factory, mixstage_state
+    batch = make_batch(f.cfg, seed=7)
+    steps = f.make_steps()
+    _, pose1, _ = steps["eval"](state, batch, use_pose_input=False,
+                                sample_flag=True)
+    _, pose2, _ = steps["eval"](state, batch, use_pose_input=False,
+                                sample_flag=True)
+    assert bool(jnp.all(pose1 == pose2))
+
+
+def test_style_soft_mixture_path(mixstage_factory, mixstage_state):
+    """Uniform soft style weights (the -mix flag) produce an output distinct
+    from both hard styles."""
+    f, state = mixstage_factory, mixstage_state
+    batch = make_batch(f.cfg, seed=8)
+    steps = f.make_steps()
+    _, pose_hard, _ = steps["eval"](state, batch, use_pose_input=False,
+                                    sample_flag=True)
+    S = f.cfg.num_speakers
+    soft = dict(batch)
+    soft["style_soft"] = jnp.full(batch["style"].shape + (S,), 1.0 / S)
+    _, pose_mix, _ = steps["eval"](state, soft, use_pose_input=False,
+                                   sample_flag=True)
+    assert not bool(jnp.allclose(pose_hard, pose_mix))
