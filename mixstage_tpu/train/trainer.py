@@ -637,3 +637,33 @@ class Trainer:
         self.book.update_res(test_metrics)
         self.book.print_res(epoch=0, key_order=["train", "dev", "test"],
                             metric_order=self.metric_order, exp=exp_num, lr=0)
+        if self.args.render:
+            self.render_samples()
+
+    def render_samples(self, max_videos: int = 10):
+        """Render dumped keypoints to videos + HTML grid (the reference's
+        -render flag path, render.py:19-132) for a bounded number of
+        intervals."""
+        from mixstage_tpu.animation.animation import animate
+        from mixstage_tpu.htmlgrid.to_html import make_html_file
+
+        exp_dir = Path(self.dir_name)
+        feats_shape = self.data_shape[self.output_modality][-1] // 2
+        rendered = 0
+        for kp_dir in sorted(exp_dir.glob("keypoints*")):
+            subname = kp_dir.name.replace("keypoints", "").lstrip("_") or None
+            for h5file in sorted(kp_dir.rglob("*.h5")):
+                if rendered >= max_videos:
+                    break
+                from mixstage_tpu.data.hdf5 import HDF5
+
+                y_pred = HDF5.load_array(h5file.as_posix(),
+                                         self.output_modality)
+                if y_pred.ndim == 2:
+                    y_pred = y_pred.reshape(-1, 2, feats_shape)
+                desc = h5file.parent.parent.name
+                animate(y_pred, h5file.stem, self.parents,
+                        exp_dir.as_posix(), desc, self.data, None, None,
+                        None, subname)
+                rendered += 1
+        make_html_file(exp_dir.as_posix())

@@ -111,3 +111,26 @@ def test_all_speakers_and_is_metric_pipeline(synth, tmp_path_factory):
     loss, metrics, _ = tr.train_loop(tr.data_dev, "dev", num_iters=1)
     assert any(k.startswith("dev_style_IS") for k in metrics)
     assert np.isfinite(metrics["dev_style_IS"])
+
+
+@pytest.mark.slow
+def test_text_plus_audio_late_fusion(tmp_path_factory):
+    """Audio+text late fusion exercises the TextEncoder1D + concat encoder
+    path (jlcss4.py:131-142) and the pad-collate for text keys."""
+    from mixstage_tpu.data.synthetic import make_synthetic_dataset
+
+    path = str(tmp_path_factory.mktemp("pats_text"))
+    make_synthetic_dataset(path, speakers=["oliver", "maher"],
+                           num_intervals_per_speaker=3, with_text=True)
+    save_dir = str(tmp_path_factory.mktemp("save_text"))
+    cfg = base_cfg(path, save_dir, model="JointLateClusterSoftStyle4_G",
+                   gan=1, num_clusters=2, num_epochs=1, exp=21,
+                   modalities=["pose/data", "audio/log_mel_512", "text/w2v"],
+                   input_modalities=["audio/log_mel_512", "text/w2v"],
+                   fs_new=[15, 15, 15])
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    assert tr.step_cfg.text_channels == 300
+    loss, metrics, _ = tr.train_loop(tr.data_train, "train", epoch=0)
+    assert np.isfinite(loss)
+    # concat encoder participated (512 -> 256 fusion)
+    assert "concat_encoder" in tr.state.g_params["gen"]
