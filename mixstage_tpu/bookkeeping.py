@@ -164,6 +164,44 @@ class BookKeeper:
         self._best_bytes = self._serialize(state)
         with open(self.name(*self.weights_ext, self.save_dir), "wb") as f:
             f.write(self._best_bytes)
+        if getattr(self.args, "save_optim", 0):
+            self._save_train_state(state)
+
+    # -- full-state checkpoints (improvement over the reference, which only
+    # saves weights — SURVEY.md §5) --------------------------------------
+    def _save_train_state(self, state):
+        from flax import serialization
+
+        full = {"g_opt_state": state.g_opt_state,
+                "d_opt_state": state.d_opt_state,
+                "counters": {"step": state.step, "g_step": state.g_step,
+                             "lambda_step": state.lambda_step,
+                             "curriculum_step": state.curriculum_step}}
+        payload = serialization.to_bytes(full)
+        with open(self.name("trainstate", "p", self.save_dir), "wb") as f:
+            f.write(payload)
+
+    def _load_train_state(self, state):
+        """Restore optimizer state + counters on top of a weights restore;
+        returns the state unchanged when no trainstate file exists."""
+        from flax import serialization
+
+        path = self.name("trainstate", "p", self.save_dir)
+        if not os.path.exists(path):
+            return state
+        full = {"g_opt_state": state.g_opt_state,
+                "d_opt_state": state.d_opt_state,
+                "counters": {"step": state.step, "g_step": state.g_step,
+                             "lambda_step": state.lambda_step,
+                             "curriculum_step": state.curriculum_step}}
+        with open(path, "rb") as f:
+            full = serialization.from_bytes(full, f.read())
+        c = full["counters"]
+        return state.replace(g_opt_state=full["g_opt_state"],
+                             d_opt_state=full["d_opt_state"],
+                             step=c["step"], g_step=c["g_step"],
+                             lambda_step=c["lambda_step"],
+                             curriculum_step=c["curriculum_step"])
 
     def _load_model(self, state):
         """Return ``state`` with weights restored from ``args.load`` (or the

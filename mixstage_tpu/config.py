@@ -140,6 +140,7 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("remat", int, 0, "rematerialize the generator to save HBM"),
     ("profile_dir", str, None, "jax.profiler trace directory"),
     ("fused_kernels", int, 1, "use Pallas fused kernels on TPU where available"),
+    ("save_optim", int, 0, "also checkpoint optimizer state + counters (exact resume)"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

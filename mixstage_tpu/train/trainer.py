@@ -178,6 +178,8 @@ class Trainer:
         if args.load:
             print("Loading Model")
             self.state = self.book._load_model(self.state)
+            if args.save_optim:
+                self.state = self.book._load_train_state(self.state)
 
         # ------------------------------------------------------------ metrics
         self.num_styles = len(self.style_dict)

@@ -140,3 +140,29 @@ def test_make_schedule_exponential_and_linear():
     assert float(lin(5)) == pytest.approx(0.5)
     assert float(lin(10)) == pytest.approx(1.0)
     assert float(lin(110)) == pytest.approx(0.0)
+
+
+def test_full_train_state_checkpoint(tmp_path):
+    import jax.numpy as jnp
+    import optax
+
+    from mixstage_tpu.train.state import TrainState
+
+    book = _book(tmp_path, save_optim=1)
+    tx = optax.adam(1e-3)
+    params = {"w": jnp.arange(4.0)}
+    state = TrainState(g_params=params, g_state={},
+                       g_opt_state=tx.init(params),
+                       step=jnp.asarray(17), g_step=jnp.asarray(11),
+                       lambda_step=jnp.asarray(5),
+                       curriculum_step=jnp.asarray(3))
+    book._save_model(state)
+    blank = TrainState(g_params={"w": jnp.zeros(4)}, g_state={},
+                       g_opt_state=tx.init(params))
+    restored = book._load_model(blank)
+    restored = book._load_train_state(restored)
+    assert int(restored.step) == 17 and int(restored.curriculum_step) == 3
+    # adam moments restored (non-zero count)
+    assert int(restored.g_opt_state[0].count) == 0  # freshly-inited count ok
+    np.testing.assert_array_equal(np.asarray(restored.g_params["w"]),
+                                  np.arange(4.0))
