@@ -77,13 +77,27 @@ def main():
     log(f"train D-step: {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms/step")
 
     # ---- p50 audio→pose latency per 64-frame clip -------------------------
-    # production serving path: folded BN + fused Pallas mixture decoder
-    from mixstage_tpu.serve import build_serving_fn
+    # production serving path: folded BN + fused Pallas mixture decoder;
+    # fall back to the flax eval graph if the fused path fails on this backend
+    try:
+        from mixstage_tpu.serve import build_serving_fn
 
-    serve = build_serving_fn(factory, state)
-    clip_audio = _example_batch(B=1, seed=3)["x"][0]
-    style1 = np.zeros((1,), np.int32)
-    jax.block_until_ready(serve(clip_audio, style1))
+        serve = build_serving_fn(factory, state)
+        clip_audio = _example_batch(B=1, seed=3)["x"][0]
+        style1 = np.zeros((1,), np.int32)
+        jax.block_until_ready(serve(clip_audio, style1))
+    except Exception as e:  # noqa: BLE001
+        log(f"fused serving path unavailable ({e}); timing the eval graph")
+
+        def serve(audio, style_ids):
+            b = dict(_example_batch(B=audio.shape[0], seed=3))
+            b["x"] = (audio,)
+            return steps["eval"](state, b, use_pose_input=False,
+                                 sample_flag=True)[1]
+
+        clip_audio = _example_batch(B=1, seed=3)["x"][0]
+        style1 = np.zeros((1,), np.int32)
+        jax.block_until_ready(serve(clip_audio, style1))
     lat = []
     for _ in range(50):
         t0 = time.perf_counter()

@@ -58,6 +58,11 @@ def test_dp_step_matches_single_device():
                                      use_pose_input=False)
 
     for k in losses8:
+        if np.ndim(losses8[k]) > 0:  # per-sample vectors (e.g. W)
+            np.testing.assert_allclose(np.asarray(losses8[k]),
+                                       np.asarray(losses1[k]),
+                                       rtol=2e-4, atol=1e-5)
+            continue
         np.testing.assert_allclose(float(losses8[k]), float(losses1[k]),
                                    rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pose8), np.asarray(pose1),
