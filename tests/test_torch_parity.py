@@ -277,3 +277,135 @@ def test_full_generator_parity():
                                   torch.from_numpy(y), **kwargs)
     np.testing.assert_allclose(np.asarray(out["pose"]), ref_pose.numpy(),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_training_step_loss_and_grad_parity():
+    """G-step training dynamics vs the reference: with identical weights and
+    an identical batch, every loss component of the reference's G branch
+    (gan.py:134-152 + jlcss4 internal losses) and the gradient of the output
+    conv must match."""
+    ref_jl = _load_ref("joint_late_cluster_soft_style")
+    ref_s2g = _load_ref("speech2gesture")
+    ref_gan = _load_ref("gan")
+    import jax.numpy as jnp
+
+    from mixstage_tpu.train import losses as L
+    from mixstage_tpu.train.steps import StepConfig, StepFactory
+
+    T, MEL, FEATS, M, S = 64, 128, 96, 4, 3
+    B = 2
+    shape = {"pose/data": [T, 104], "audio/log_mel_512": [T, MEL]}
+    style_dict = {f"sp{i}": i for i in range(S)}
+
+    tG = ref_jl.JointLateClusterSoftStyle4_G(
+        time_steps=T, out_feats=FEATS, num_clusters=M,
+        style_dict=style_dict, shape=shape).float()
+    tD = ref_s2g.Speech2Gesture_D(in_channels=FEATS).float()
+    # NOTE: GAN's ctor default is no_grad=True but the trainer passes
+    # args.no_grad == False (trainer.py:1085); match the trainer
+    tgan = ref_gan.GAN(tG, tD, dg_iter_ratio=0.0, criterion="L1Loss",
+                       input_modalities=["audio/log_mel_512"],
+                       no_grad=False).float()
+    tgan.train(True)
+    randomize_bn_stats(tgan)
+    # force the audio branch of the curriculum (coin: rand > thresh)
+    tG.thresh.value = 1.0
+    tG.thresh.iters = tG.thresh.num_iters
+
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=M, num_speakers=S,
+                     lambda_gan=1.0, lambda_id=1.0)
+    factory = StepFactory(cfg, donate=False)
+
+    rng = np.random.default_rng(5)
+    audio = rng.normal(size=(B, T, MEL)).astype(np.float32)
+    y = rng.normal(size=(B, T, FEATS)).astype(np.float32)
+    labels = rng.integers(0, M, size=(B, T))
+    style_ids = np.repeat(rng.integers(0, S, size=(B, 1)), T, 1)
+    batch = {"x": (jnp.asarray(audio),), "y": jnp.asarray(y),
+             "labels": jnp.asarray(labels, jnp.int32),
+             "style": jnp.asarray(style_ids, jnp.int32)}
+
+    state = factory.init(jax.random.key(0), batch)
+    # copy torch weights into both the generator tree and the psenc tree
+    gp = jax.tree.map(np.asarray, state.g_params)
+    gs = jax.tree.map(np.asarray, state.g_state)
+    dp = jax.tree.map(np.asarray, state.d_params)
+    ds = jax.tree.map(np.asarray, state.d_state)
+    p, s = gp["gen"], gs["gen"]
+    for i in range(8):
+        copy_cnr(tG.audio_encoder.conv[i], p["audio_encoder"][f"conv{i}"],
+                 s["audio_encoder"][f"conv{i}"])
+    copy_cnr(tG.unet.pre_downsampling_conv[0], p["unet"]["pre0"], s["unet"]["pre0"])
+    copy_cnr(tG.unet.pre_downsampling_conv[1], p["unet"]["pre1"], s["unet"]["pre1"])
+    for i in range(5):
+        copy_cnr(tG.unet.conv1[i], p["unet"][f"down{i}"], s["unet"][f"down{i}"])
+        copy_cnr(tG.unet.conv2[i], p["unet"][f"up{i}"], s["unet"][f"up{i}"])
+    p["style_emb"]["embedding"] = jnp.asarray(tG.style_emb.emb.weight.detach().numpy())
+    for i in range(6):
+        copy_cnr(tG.classify_cluster.conv[i],
+                 p["classify_cluster"]["stack"][f"conv{i}"],
+                 s["classify_cluster"]["stack"][f"conv{i}"])
+    p["classify_cluster"]["logits"]["kernel"] = t2j_conv1d(tG.classify_cluster.logits.weight)
+    p["classify_cluster"]["logits"]["bias"] = jnp.asarray(
+        tG.classify_cluster.logits.bias.detach().numpy())
+    for i in range(4):
+        copy_cnr(tG.decoder[i], p[f"decoder{i}"], s[f"decoder{i}"])
+    p["logits"]["kernel"] = t2j_conv1d(tG.logits.weight)
+    p["logits"]["bias"] = jnp.asarray(tG.logits.bias.detach().numpy())
+    # pose-style encoder
+    for i in range(7):
+        copy_cnr(tG.pose_style_encoder.conv[i],
+                 gp["psenc"]["stack"][f"conv{i}"], gs["psenc"]["stack"][f"conv{i}"])
+    # discriminator
+    dp["conv1"]["kernel"] = t2j_conv1d(tD.conv1[0].weight)
+    dp["conv1"]["bias"] = jnp.asarray(tD.conv1[0].bias.detach().numpy())
+    copy_cnr(tD.conv2[0], dp["conv2_0"], ds["conv2_0"])
+    copy_cnr(tD.conv3, dp["conv3"], ds["conv3"])
+    dp["logits"]["kernel"] = t2j_conv1d(tD.logits.weight)
+    dp["logits"]["bias"] = jnp.asarray(tD.logits.bias.detach().numpy())
+    state = state.replace(g_params=gp, g_state=gs, d_params=dp, d_state=ds)
+
+    # ---- reference G branch -------------------------------------------------
+    kwargs = dict(input_modalities=["audio/log_mel_512"],
+                  style=torch.from_numpy(style_ids).long(), sample_flag=0,
+                  description="train", epoch=0)
+    ta = torch.from_numpy(audio)
+    tl = torch.from_numpy(labels).long()
+    ty = torch.from_numpy(y)
+    tgan.zero_grad()
+    y_cap, internal, *_ = tgan([ta, tl], ty, **kwargs)
+    # order: pose, G_gan, label CE, id_in, id_out (gan.py:145-151 + jlcss4)
+    ref_losses = [float(l) for l in internal]
+    sum(internal).backward()
+    ref_grad = tG.logits.weight.grad.detach().numpy().transpose(2, 1, 0)
+
+    # ---- rebuild G step -----------------------------------------------------
+    def loss_fn(g_params):
+        pose, internal, g_state, aux = factory._style_forward(
+            g_params, state.g_state, batch, False, True, False,
+            jax.random.key(0))
+        fake_v = L.velocity(pose)
+        d_score, _ = factory._apply_disc(state.d_params, state.d_state,
+                                         fake_v, True)
+        # reference uses the trainer criterion (L1) for the GAN term too
+        # (gan.py:40,69-71 with criterion='L1Loss')
+        G_gan = factory.criterion(d_score, jnp.ones_like(d_score)).mean()
+        pose_loss = factory.criterion(pose, batch["y"]).mean()
+        total = pose_loss + G_gan + sum(internal.values())
+        parts = {"pose": pose_loss, "G_gan": G_gan, **internal}
+        return total, parts
+
+    (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.g_params)
+
+    assert abs(float(parts["pose"]) - ref_losses[0]) < 2e-3
+    assert abs(float(parts["G_gan"]) - ref_losses[1]) < 2e-3
+    assert abs(float(parts["label"]) - ref_losses[2]) < 2e-3
+    assert abs(float(parts["id_in"]) - ref_losses[3]) < 2e-3
+    assert abs(float(parts["id_out"]) - ref_losses[4]) < 2e-3
+    my_grad = np.asarray(grads["gen"]["logits"]["kernel"])
+    # gradient parity on the output conv (direction + scale)
+    cos = (my_grad * ref_grad).sum() / (
+        np.linalg.norm(my_grad) * np.linalg.norm(ref_grad) + 1e-12)
+    assert cos > 0.99, f"gradient cosine {cos}"
