@@ -120,14 +120,14 @@ class JointLateClusterSoftStyle4_G(nn.Module):
                 content = fused
         return content
 
-    def backbone(self, x_list: Sequence[jnp.ndarray], y, style_weights,
+    def features(self, x_list: Sequence[jnp.ndarray], y, style_weights,
                  input_modalities: Sequence[str],
                  use_pose_input: bool = False,
                  time_steps: Optional[int] = None,
                  train: bool = True):
-        """Everything up to (excluding) the mixture decoder: content encoding
-        → UNet → style concat → cluster classification.  Exposed separately so
-        the serving fast path can splice in the fused Pallas decoder
+        """Content encoding → UNet → style concat: the shared (B, T,
+        256+style_dim) features feeding both the cluster classifier and the
+        mixture decoder.  Exposed for the serving fast path
         (``mixstage_tpu/serve.py``)."""
         # time_steps=None lets the audio encoder resize to its own input
         # length — the sampling path runs whole intervals as one sequence
@@ -135,10 +135,17 @@ class JointLateClusterSoftStyle4_G(nn.Module):
         x = self.encode_content(x_list, y, input_modalities, use_pose_input,
                                 time_steps, train)
         x = self.unet(x, train=train)
-
         labels_style = self.style_emb(style_weights, mode="lin")  # (B, T, style_dim)
-        x = jnp.concatenate([x, labels_style], axis=-1)           # (B, T, 256+style_dim)
+        return jnp.concatenate([x, labels_style], axis=-1)        # (B, T, 256+style_dim)
 
+    def backbone(self, x_list: Sequence[jnp.ndarray], y, style_weights,
+                 input_modalities: Sequence[str],
+                 use_pose_input: bool = False,
+                 time_steps: Optional[int] = None,
+                 train: bool = True):
+        """Everything up to (excluding) the mixture decoder."""
+        x = self.features(x_list, y, style_weights, input_modalities,
+                          use_pose_input, time_steps, train)
         labels_score = self.classify_cluster(x, train=train)      # (B, T, M)
         labels_cap_soft = nn.softmax(labels_score, axis=-1)
         return x, labels_score, labels_cap_soft

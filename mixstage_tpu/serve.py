@@ -79,6 +79,35 @@ def extract_folded_decoder(gen_params, gen_bstats, num_clusters: int,
             "b_logits": b_logits, "c0": C0, "out_feats": F}
 
 
+def extract_folded_classify(gen_params, gen_bstats, eps: float = 1e-5):
+    """Fold BN through the ClusterClassify chain (6 ConvNormRelu + 1×1 logits
+    — layers.py:446-467) into the same layout ``fused_mixstage_decoder``
+    consumes with G=1."""
+    cc_p = gen_params["classify_cluster"]
+    cc_s = gen_bstats["classify_cluster"]
+    folded = []
+    for i in range(6):
+        conv = cc_p["stack"][f"conv{i}"]["conv"]
+        norm = cc_p["stack"][f"conv{i}"]["norm"]
+        stats = cc_s["stack"][f"conv{i}"]["norm"]
+        folded.append(fold_bn_into_conv(conv["kernel"], conv.get("bias"),
+                                        norm["scale"], norm["bias"],
+                                        stats["mean"], stats["var"], eps))
+    k0, b0 = folded[0]
+    _, C0, C = k0.shape
+    C0p = _round_up(C0, 128)
+    w0 = jnp.pad(k0, ((0, 0), (0, C0p - C0), (0, 0)))[None]   # (1,3,C0p,C)
+    wc = jnp.stack([k for k, _ in folded[1:]])[:, None]       # (5,1,3,C,C)
+    biases = jnp.stack([b for _, b in folded])[None]          # (1,6,C)
+    lk = cc_p["logits"]["kernel"]                             # (1, C, M)
+    lb = cc_p["logits"].get("bias")
+    w_logits = lk                                             # (1, C, M)
+    b_logits = (lb[None] if lb is not None
+                else jnp.zeros((1, lk.shape[-1]), lk.dtype))
+    return {"w0": w0, "wc": wc, "biases": biases, "w_logits": w_logits,
+            "b_logits": b_logits, "c0": C0}
+
+
 def folded_decoder_xla(x, fd, groups: int, negative_slope: float = 0.2):
     """XLA folded decoder (parity / CPU fallback for the Pallas kernel)."""
     G = groups
@@ -120,28 +149,39 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
     c0 = int(fd.pop("c0"))      # static ints must not become tracers
     fd.pop("out_feats")
     fd = jax.device_put(fd)
+    fc = extract_folded_classify(state.g_params["gen"], state.g_state["gen"])
+    fc.pop("c0")
+    fc = jax.device_put(fc)
     G = cfg.num_clusters
     C0p = fd["w0"].shape[2]
 
     @jax.jit
-    def serve(gen_params, gen_bstats, fd, audio, style_ids):
+    def serve(gen_params, gen_bstats, fd, fc, audio, style_ids):
         B, T = audio.shape[0], audio.shape[1]
         sw = jax.nn.one_hot(style_ids, cfg.num_speakers,
                             dtype=audio.dtype)[:, None, :].repeat(T, axis=1)
         y_dummy = jnp.zeros((B, T, cfg.out_feats), audio.dtype)
-        x, _, soft = factory.gen.apply(
-            {"params": gen_params, "batch_stats": gen_bstats},
-            [audio], y_dummy, sw,
-            input_modalities=list(cfg.input_modalities),
-            use_pose_input=False, train=False, method="backbone")
+        variables = {"params": gen_params, "batch_stats": gen_bstats}
+        common = dict(input_modalities=list(cfg.input_modalities),
+                      use_pose_input=False, train=False)
         if use_pallas:
+            # content+style features from flax; BOTH conv chains (cluster
+            # classifier + mixture decoder) run as fused Pallas kernels
+            x = factory.gen.apply(variables, [audio], y_dummy, sw,
+                                  method="features", **common)
             xp = jnp.pad(x, ((0, 0), (0, 0), (0, C0p - x.shape[-1])))
+            scores = fused_mixstage_decoder(
+                xp, fc["w0"], fc["wc"], fc["biases"], fc["w_logits"],
+                fc["b_logits"], groups=1, batch_tile=batch_tile)
+            soft = jax.nn.softmax(scores, axis=-1)
             logits = fused_mixstage_decoder(
                 xp, fd["w0"], fd["wc"], fd["biases"], fd["w_logits"],
                 fd["b_logits"], groups=G, batch_tile=batch_tile)
         else:
+            x, _, soft = factory.gen.apply(variables, [audio], y_dummy, sw,
+                                           method="backbone", **common)
             logits = folded_decoder_xla(x, {**fd, "c0": c0}, G)
         return index_select_outputs(logits, soft, G)
 
-    return lambda audio, style_ids: serve(gen_params, gen_bstats, fd,
+    return lambda audio, style_ids: serve(gen_params, gen_bstats, fd, fc,
                                           audio, style_ids)
