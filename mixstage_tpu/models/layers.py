@@ -397,3 +397,66 @@ def confidence_entropy_loss(y, y_cap, confidence, beta: float = 1.0,
     prob = jnp.exp(diff / (2.0 * sigma ** 2)) / (2.0 * math.pi * sigma)
     sigma_ycap = get_sigma(prob)
     return 0.5 * jnp.log(2.0 * math.pi * math.e * (sigma_ycap ** 2)) * beta
+
+
+class PoseDecoder(nn.Module):
+    """Grouped pose decoder with style re-injection between layers.
+
+    Reference layers.py:291-316: 4 grouped ConvNormRelu layers; after each
+    non-final layer the per-group style block (the last ``style_dim`` channels
+    of each group) is re-concatenated; grouped 1×1 logits head.
+    Input (B, T, num_clusters*(input_channels+style_dim)).
+    """
+
+    input_channels: int = 256
+    style_dim: int = 10
+    num_clusters: int = 8
+    out_feats: int = 96
+    p: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        B, T, _ = x.shape
+        M = self.num_clusters
+        common = dict(type="1d", leaky=True, p=self.p, groups=M,
+                      dtype=self.dtype, param_dtype=self.param_dtype)
+        # per-group trailing style channels (layers.py:308)
+        xg = x.reshape(B, T, M, -1)
+        style = xg[..., -self.style_dim:]
+        for i in range(4):
+            x = ConvNormRelu(self.input_channels + self.style_dim,
+                             self.input_channels, name=f"dec{i}",
+                             **common)(x, train=train)
+            if i < 3:
+                xg = x.reshape(B, T, M, -1)
+                x = jnp.concatenate([xg, style], axis=-1).reshape(B, T, -1)
+        x = nn.Conv(self.out_feats * M, kernel_size=(1,),
+                    feature_group_count=M, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="pose_logits")(x)
+        return x
+
+
+class StyleDecoder(nn.Module):
+    """Two grouped ConvNormRelu layers + grouped 1×1 logits
+    (reference layers.py:318-335)."""
+
+    input_channels: int = 256
+    num_clusters: int = 10
+    out_feats: int = 96
+    p: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        M = self.num_clusters
+        common = dict(type="1d", leaky=True, p=self.p, groups=M,
+                      dtype=self.dtype, param_dtype=self.param_dtype)
+        for i in range(2):
+            x = ConvNormRelu(self.input_channels, self.input_channels,
+                             name=f"dec{i}", **common)(x, train=train)
+        return nn.Conv(self.out_feats * M, kernel_size=(1,),
+                       feature_group_count=M, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="pose_logits")(x)

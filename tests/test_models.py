@@ -129,3 +129,20 @@ def test_curriculum_schedule():
     assert float(curriculum_value(0, 0, 1, 1000)) == 0.0
     assert float(curriculum_value(500, 0, 1, 1000)) == pytest.approx(0.5)
     assert float(curriculum_value(2000, 0, 1, 1000)) == 1.0
+
+
+def test_pose_and_style_decoders():
+    from mixstage_tpu.models.layers import PoseDecoder, StyleDecoder
+
+    M, C, S = 4, 32, 10
+    x = jnp.ones((B, T, M * (C + S)))
+    dec = PoseDecoder(input_channels=C, style_dim=S, num_clusters=M,
+                      out_feats=24)
+    v = dec.init({"params": jax.random.key(0)}, x, train=False)
+    out = dec.apply(v, x, train=False)
+    assert out.shape == (B, T, M * 24)
+
+    sdec = StyleDecoder(input_channels=C + S, num_clusters=M, out_feats=24)
+    v2 = sdec.init({"params": jax.random.key(0)}, x, train=False)
+    out2 = sdec.apply(v2, x, train=False)
+    assert out2.shape == (B, T, M * 24)
