@@ -65,8 +65,16 @@ def trace(profile_dir: Optional[str]):
         return
     import jax
 
-    jax.profiler.start_trace(profile_dir)
+    try:
+        jax.profiler.start_trace(profile_dir)
+    except Exception as e:  # profiler may be unsupported on tunneled backends
+        print(f"profiler trace unavailable: {e}")
+        yield
+        return
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
