@@ -78,11 +78,14 @@ def _load_ref(name):
 
 
 def t2j_conv1d(w):
-    return jnp.asarray(w.detach().numpy().transpose(2, 1, 0))
+    # .copy(): torch .numpy() is a VIEW and jnp.asarray may alias it zero-copy
+    # on CPU — without the copy, later in-place torch updates (optimizer/BN)
+    # would silently mutate the "transferred" jax weights
+    return jnp.asarray(w.detach().numpy().transpose(2, 1, 0).copy())
 
 
 def t2j_conv2d(w):
-    return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
+    return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0).copy())
 
 
 def copy_cnr(tmod, params, stats):
@@ -90,11 +93,11 @@ def copy_cnr(tmod, params, stats):
     w = tmod.conv.weight
     params["conv"]["kernel"] = (t2j_conv1d(w) if w.dim() == 3
                                 else t2j_conv2d(w))
-    params["conv"]["bias"] = jnp.asarray(tmod.conv.bias.detach().numpy())
-    params["norm"]["scale"] = jnp.asarray(tmod.norm.weight.detach().numpy())
-    params["norm"]["bias"] = jnp.asarray(tmod.norm.bias.detach().numpy())
-    stats["norm"]["mean"] = jnp.asarray(tmod.norm.running_mean.numpy())
-    stats["norm"]["var"] = jnp.asarray(tmod.norm.running_var.numpy())
+    params["conv"]["bias"] = jnp.asarray(tmod.conv.bias.detach().numpy().copy())
+    params["norm"]["scale"] = jnp.asarray(tmod.norm.weight.detach().numpy().copy())
+    params["norm"]["bias"] = jnp.asarray(tmod.norm.bias.detach().numpy().copy())
+    stats["norm"]["mean"] = jnp.asarray(tmod.norm.running_mean.numpy().copy())
+    stats["norm"]["var"] = jnp.asarray(tmod.norm.running_var.numpy().copy())
 
 
 def randomize_bn_stats(tmod, seed=0):
@@ -199,11 +202,11 @@ def test_discriminator_parity():
         model.init(jax.random.key(0), jnp.asarray(x), train=False))
     p, s = variables["params"], variables["batch_stats"]
     p["conv1"]["kernel"] = t2j_conv1d(tmod.conv1[0].weight)
-    p["conv1"]["bias"] = jnp.asarray(tmod.conv1[0].bias.detach().numpy())
+    p["conv1"]["bias"] = jnp.asarray(tmod.conv1[0].bias.detach().numpy().copy())
     copy_cnr(tmod.conv2[0], p["conv2_0"], s["conv2_0"])
     copy_cnr(tmod.conv3, p["conv3"], s["conv3"])
     p["logits"]["kernel"] = t2j_conv1d(tmod.logits.weight)
-    p["logits"]["bias"] = jnp.asarray(tmod.logits.bias.detach().numpy())
+    p["logits"]["bias"] = jnp.asarray(tmod.logits.bias.detach().numpy().copy())
     score, _ = model.apply(variables, jnp.asarray(x), train=False)
     with torch.no_grad():
         ref, _ = tmod(torch.from_numpy(x))
@@ -251,7 +254,7 @@ def test_full_generator_parity():
         copy_cnr(tmod.unet.conv2[i], p["unet"][f"up{i}"],
                  s["unet"][f"up{i}"])
     p["style_emb"]["embedding"] = jnp.asarray(
-        tmod.style_emb.emb.weight.detach().numpy())
+        tmod.style_emb.emb.weight.detach().numpy().copy())
     for i in range(6):
         copy_cnr(tmod.classify_cluster.conv[i],
                  p["classify_cluster"]["stack"][f"conv{i}"],
@@ -259,11 +262,11 @@ def test_full_generator_parity():
     p["classify_cluster"]["logits"]["kernel"] = \
         t2j_conv1d(tmod.classify_cluster.logits.weight)
     p["classify_cluster"]["logits"]["bias"] = jnp.asarray(
-        tmod.classify_cluster.logits.bias.detach().numpy())
+        tmod.classify_cluster.logits.bias.detach().numpy().copy())
     for i in range(4):
         copy_cnr(tmod.decoder[i], p[f"decoder{i}"], s[f"decoder{i}"])
     p["logits"]["kernel"] = t2j_conv1d(tmod.logits.weight)
-    p["logits"]["bias"] = jnp.asarray(tmod.logits.bias.detach().numpy())
+    p["logits"]["bias"] = jnp.asarray(tmod.logits.bias.detach().numpy().copy())
 
     out = model.apply(variables, [jnp.asarray(audio)], jnp.asarray(y), sw,
                       input_modalities=["audio/log_mel_512"],
@@ -341,29 +344,29 @@ def test_training_step_loss_and_grad_parity():
     for i in range(5):
         copy_cnr(tG.unet.conv1[i], p["unet"][f"down{i}"], s["unet"][f"down{i}"])
         copy_cnr(tG.unet.conv2[i], p["unet"][f"up{i}"], s["unet"][f"up{i}"])
-    p["style_emb"]["embedding"] = jnp.asarray(tG.style_emb.emb.weight.detach().numpy())
+    p["style_emb"]["embedding"] = jnp.asarray(tG.style_emb.emb.weight.detach().numpy().copy())
     for i in range(6):
         copy_cnr(tG.classify_cluster.conv[i],
                  p["classify_cluster"]["stack"][f"conv{i}"],
                  s["classify_cluster"]["stack"][f"conv{i}"])
     p["classify_cluster"]["logits"]["kernel"] = t2j_conv1d(tG.classify_cluster.logits.weight)
     p["classify_cluster"]["logits"]["bias"] = jnp.asarray(
-        tG.classify_cluster.logits.bias.detach().numpy())
+        tG.classify_cluster.logits.bias.detach().numpy().copy())
     for i in range(4):
         copy_cnr(tG.decoder[i], p[f"decoder{i}"], s[f"decoder{i}"])
     p["logits"]["kernel"] = t2j_conv1d(tG.logits.weight)
-    p["logits"]["bias"] = jnp.asarray(tG.logits.bias.detach().numpy())
+    p["logits"]["bias"] = jnp.asarray(tG.logits.bias.detach().numpy().copy())
     # pose-style encoder
     for i in range(7):
         copy_cnr(tG.pose_style_encoder.conv[i],
                  gp["psenc"]["stack"][f"conv{i}"], gs["psenc"]["stack"][f"conv{i}"])
     # discriminator
     dp["conv1"]["kernel"] = t2j_conv1d(tD.conv1[0].weight)
-    dp["conv1"]["bias"] = jnp.asarray(tD.conv1[0].bias.detach().numpy())
+    dp["conv1"]["bias"] = jnp.asarray(tD.conv1[0].bias.detach().numpy().copy())
     copy_cnr(tD.conv2[0], dp["conv2_0"], ds["conv2_0"])
     copy_cnr(tD.conv3, dp["conv3"], ds["conv3"])
     dp["logits"]["kernel"] = t2j_conv1d(tD.logits.weight)
-    dp["logits"]["bias"] = jnp.asarray(tD.logits.bias.detach().numpy())
+    dp["logits"]["bias"] = jnp.asarray(tD.logits.bias.detach().numpy().copy())
     state = state.replace(g_params=gp, g_state=gs, d_params=dp, d_state=ds)
 
     # ---- reference G branch -------------------------------------------------
