@@ -111,7 +111,9 @@ class StepFactory:
                  donate: bool = True):
         self.cfg = cfg
         self.donate = donate
-        common = dict(p=cfg.p_dropout, dtype=cfg.dtype)
+        # fp64 parity mode stores params in f64 too; f32/bf16 keep f32 params
+        param_dtype = jnp.float64 if cfg.dtype == jnp.float64 else jnp.float32
+        common = dict(p=cfg.p_dropout, dtype=cfg.dtype, param_dtype=param_dtype)
         gen_cls = get_model_def(cfg.model)
         mk = dict(cfg.model_kwargs)
         if cfg.has_style:
