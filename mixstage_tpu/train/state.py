@@ -44,16 +44,35 @@ OPTIMIZERS = {
 
 
 def make_optimizer(name: str, lr: float, grad_clip: Optional[float] = None,
-                   schedule=None, **kwargs) -> optax.GradientTransformation:
+                   schedule=None, text_lr: Optional[float] = None, **kwargs
+                   ) -> optax.GradientTransformation:
     """Optimizer with optional global-norm clip (reference clips G/D grads to 1,
-    trainer.py:1138-1146) and an optional per-*step* schedule."""
+    trainer.py:1138-1146), an optional per-*step* schedule, and an optional
+    separate learning rate for the text-encoder subtree (the reference's
+    -optim_separate for bert, trainer.py:268-278)."""
     if name not in OPTIMIZERS:
         raise KeyError(f"optimizer {name!r} unknown; known: {sorted(OPTIMIZERS)}")
     lr_or_schedule = schedule if schedule is not None else lr
+
+    def base(rate):
+        return OPTIMIZERS[name](learning_rate=rate, **kwargs)
+
+    if text_lr is not None:
+        def label_fn(params):
+            def walk(tree, in_text):
+                if isinstance(tree, dict):
+                    return {k: walk(v, in_text or k == "text_encoder")
+                            for k, v in tree.items()}
+                return "text" if in_text else "rest"
+            return walk(params, False)
+        tx = optax.multi_transform({"text": base(text_lr),
+                                    "rest": base(lr_or_schedule)}, label_fn)
+    else:
+        tx = base(lr_or_schedule)
     chain = []
     if grad_clip is not None:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(OPTIMIZERS[name](learning_rate=lr_or_schedule, **kwargs))
+    chain.append(tx)
     return optax.chain(*chain)
 
 

@@ -68,6 +68,7 @@ class StepConfig:
     lr: float = 1e-4
     optim: str = "Adam"
     noise: float = 0.0
+    optim_separate: Optional[float] = None
     p_dropout: float = 0.0
     dtype: Any = jnp.float32
     model_kwargs: Tuple = ()
@@ -148,7 +149,8 @@ class StepFactory:
             self.disc = None
         self.criterion = L.get_criterion(cfg.criterion)
         self.g_tx = make_optimizer(cfg.optim, cfg.lr, grad_clip=1.0,
-                                   schedule=g_schedule)
+                                   schedule=g_schedule,
+                                   text_lr=cfg.optim_separate)
         self.d_tx = make_optimizer(cfg.optim, cfg.lr, grad_clip=1.0,
                                    schedule=d_schedule) if cfg.gan else None
 

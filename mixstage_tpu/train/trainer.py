@@ -130,6 +130,11 @@ class Trainer:
         self.pre = Compose(pre_transforms)
         self.transform = Compose([RemoveJoints(self.mask, self.parents)])
 
+        if args.preprocess_only:
+            # reference exits after data preprocessing (trainer.py:131-133)
+            print("Data Preprocessing done")
+            raise SystemExit(1)
+
         # ------------------------------------------------------------- steps
         out_feats = self.data_shape[self.output_modality][-1] - 2 * len(self.mask)
         text_channels = None
@@ -157,6 +162,7 @@ class Trainer:
             lambda_D=args.lambda_D, joint=bool(args.joint),
             no_grad=bool(args.no_grad), weighted=bool(args.weighted),
             lr=args.lr, optim=args.optim, noise=args.noise,
+            optim_separate=args.optim_separate,
             p_dropout=float(mk.pop("p", 0.0)), dtype=self.fp,
             model_kwargs=tuple(mk.items()))
         self.factory = StepFactory(self.step_cfg, g_schedule=schedule,
