@@ -161,3 +161,28 @@ def test_iter_all_bulk_matches_per_item(data):
     audio_b = np.concatenate([b["audio/log_mel_512"] for b in bulk])
     audio_i = np.concatenate([it["audio/log_mel_512"][None] for it in items])
     np.testing.assert_array_equal(audio_b, audio_i)
+
+
+def test_data_sample_view(synth, tmp_path):
+    """DataSample reads predicted-keypoint h5 trees from a view directory
+    (reference dataUtils.py:618-655)."""
+    from mixstage_tpu.data.dataset import DataSample
+    from mixstage_tpu.data.hdf5 import HDF5
+
+    base = Data(synth, ["oliver"], modalities=["pose/data"], fs_new=[15],
+                time=4.3, batch_size=4)
+    view = tmp_path / "view"
+    n = 0
+    for split in ["train", "dev", "test"]:
+        for iv in getattr(base, f"{split}_intervals"):
+            src = base.getPath2file(iv)
+            arr = HDF5.load_array(src, "pose/data")
+            dst = view / "keypoints" / split / "oliver" / f"{iv}.h5"
+            HDF5.append(dst.as_posix(), "pose/data", arr)
+            n += 1
+    assert n > 0
+    ds = DataSample(synth, ["oliver"], view=str(view),
+                    modalities=["pose/data"], fs_new=[15], time=4.3,
+                    batch_size=4)
+    batch = next(iter(ds.train))
+    assert batch["pose/data"].shape[1:] == (64, 104)
