@@ -141,6 +141,7 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("profile_dir", str, None, "jax.profiler trace directory"),
     ("fused_kernels", int, 1, "use Pallas fused kernels on TPU where available"),
     ("save_optim", int, 0, "also checkpoint optimizer state + counters (exact resume)"),
+    ("scan_steps", int, 0, "fuse k train steps into one dispatch via lax.scan (0 = per-step)"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

@@ -169,6 +169,9 @@ class Trainer:
                                    d_schedule=schedule,
                                    donate=bool(args.donate))
         self.steps = self.factory.make_steps()
+        self._scan_k = int(getattr(args, "scan_steps", 0) or 0)
+        self._scan_step = (self.factory.make_scan_train_step(self._scan_k)
+                           if self._scan_k > 1 else None)
 
         # ------------------------------------------------------- device mesh
         self.mesh = make_mesh(args.num_devices)
@@ -295,7 +298,11 @@ class Trainer:
         # overlap host batch prep + device_put with device compute
         prepared = prefetch(data,
                             lambda b: (b, self.get_processed_batch(b)),
-                            depth=2)
+                            depth=2 if not self._scan_k else self._scan_k + 2)
+        if desc == "train" and self._scan_step is not None:
+            return self._train_loop_scan(prepared, desc, epoch, timer,
+                                         profile_ctx, running, running_count,
+                                         t0)
         for count, (batch, (step_batch, y_)) in enumerate(prepared):
             timer.start()
             if "idx" in batch:
@@ -675,3 +682,106 @@ class Trainer:
                         None, subname)
                 rendered += 1
         make_html_file(exp_dir.as_posix())
+
+    def _train_loop_scan(self, prepared, desc, epoch, timer, profile_ctx,
+                         running, running_count, t0):
+        """Fused k-step training loop: one dispatch per k batches
+        (StepFactory.make_scan_train_step).  Used after the curriculum phase;
+        curriculum batches fall back to the per-step path."""
+        import jax
+
+        k = self._scan_k
+        pend = []
+        count = 0
+
+        def flush():
+            nonlocal running_count, count
+            if not pend:
+                return
+            if len(pend) < k or any(
+                    p[1]["y"].shape != pend[0][1]["y"].shape for p in pend):
+                # ragged tail or shape change: per-step path
+                for batch, sb, y_ in pend:
+                    self._one_train_step(batch, sb, y_, running, epoch)
+                    running_count += sb["y"].shape[0]
+                    count += 1
+                pend.clear()
+                return
+            batches = [p[1] for p in pend]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            coins = np.array([self._gan_coin() if self.step_cfg.gan else False
+                              for _ in range(k)])
+            rngs = jnp.stack([jax.random.key(self._coin.integers(1 << 31))
+                              for _ in range(k)])
+            timer.start()
+            self.state, losses, poses = self._scan_step(
+                self.state, stacked, jnp.asarray(coins), rngs)
+            timer.stop()
+            B = batches[0]["y"].shape[0]
+            totals = np.asarray(losses["total"])
+            for i, (batch, sb, y_) in enumerate(pend):
+                for key in losses:
+                    v = np.asarray(losses[key][i])
+                    if v.ndim == 0:
+                        running[key] = running.get(key, 0.0) + float(v) * B
+                running_count += B
+                if not self.step_cfg.is_classifier:
+                    kwargs = {}
+                    if "style" in sb:
+                        kwargs["style"] = np.asarray(sb["style"])
+                    self.calculate_metrics(np.asarray(poses[i], np.float64),
+                                           y_, "same", **kwargs)
+                count += 1
+            pend.clear()
+
+        in_curriculum = (self.step_cfg.has_style and
+                         int(self.state.curriculum_step)
+                         < self.step_cfg.curriculum_iters)
+        for batch, (step_batch, y_) in prepared:
+            if "idx" in batch:
+                for i in np.asarray(batch["idx"]).tolist():
+                    self.weight_counter[i] = self.weight_counter.get(i, 0) + 1
+            if in_curriculum:
+                self._one_train_step(batch, step_batch, y_, running, epoch)
+                running_count += step_batch["y"].shape[0]
+                count += 1
+                in_curriculum = (int(self.state.curriculum_step)
+                                 < self.step_cfg.curriculum_iters)
+            else:
+                pend.append((batch, step_batch, y_))
+                if len(pend) == k:
+                    flush()
+            if self.args.debug and count >= self.args.debug:
+                break
+        flush()
+        profile_ctx.__exit__(None, None, None)
+        loss_avg = running.get("pose", running.get("total", 0.0)) / running_count
+        if self.args.metrics and not self.step_cfg.is_classifier:
+            metrics, metrics_split = self.get_metrics(desc)
+        else:
+            metrics, metrics_split = {}, {}
+        dt = time.time() - t0
+        metrics[f"{desc}_steps_per_sec"] = count / max(dt, 1e-9)
+        metrics.update(timer.summary(prefix=""))
+        return loss_avg, metrics, metrics_split
+
+    def _one_train_step(self, batch, step_batch, y_, running, epoch):
+        """Single per-step dispatch (shared by the scan loop's fallbacks)."""
+        B = step_batch["y"].shape[0]
+        rng = jax.random.key(self._coin.integers(1 << 31))
+        if self.step_cfg.gan:
+            fn = self.steps["d"] if self._gan_coin() else self.steps["g"]
+            self.state, losses, y_cap = fn(self.state, step_batch, rng,
+                                           use_pose_input=self._curriculum_coin())
+        else:
+            self.state, losses, y_cap = self.steps["train"](self.state,
+                                                            step_batch, rng)
+        for key, v in losses.items():
+            if np.ndim(v) == 0:
+                running[key] = running.get(key, 0.0) + float(v) * B
+        if not self.step_cfg.is_classifier:
+            kwargs = {}
+            if "style" in step_batch:
+                kwargs["style"] = np.asarray(step_batch["style"])
+            self.calculate_metrics(np.asarray(y_cap, np.float64), y_, "same",
+                                   **kwargs)

@@ -134,3 +134,23 @@ def test_text_plus_audio_late_fusion(tmp_path_factory):
     assert np.isfinite(loss)
     # concat encoder participated (512 -> 256 fusion)
     assert "concat_encoder" in tr.state.g_params["gen"]
+
+
+@pytest.mark.heavy  # ~40 min CPU compile of the scanned GAN step; passes
+def test_scan_steps_training(synth, tmp_path_factory):
+    """-scan_steps k trains through the fused multi-step dispatch path.
+    (The scan-vs-per-step SGD equivalence itself is covered by the fast
+    tests/test_steps.py::test_scan_driver_matches_per_step.)"""
+    save_dir = str(tmp_path_factory.mktemp("save_scan"))
+    cfg = base_cfg(synth, save_dir, model="JointLateClusterSoftStyle4_G",
+                   gan=1, num_clusters=2, num_epochs=1, exp=31,
+                   scan_steps=2, debug=0,
+                   modelKwargs={})
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    # skip the curriculum so the scan path engages
+    import jax.numpy as jnp
+
+    tr.state = tr.state.replace(curriculum_step=jnp.asarray(10_000))
+    loss, metrics, _ = tr.train_loop(tr.data_train, "train", epoch=0)
+    assert np.isfinite(loss)
+    assert metrics["train_steps_per_sec"] > 0

@@ -181,3 +181,42 @@ def test_style_soft_mixture_path(mixstage_factory, mixstage_state):
     _, pose_mix, _ = steps["eval"](state, soft, use_pose_input=False,
                                    sample_flag=True)
     assert not bool(jnp.allclose(pose_hard, pose_mix))
+
+
+def test_scan_driver_matches_per_step(mixstage_factory, mixstage_state):
+    """k scanned steps must produce the same state/losses as k sequential
+    per-step calls (identical SGD semantics, just one dispatch)."""
+    f, state0 = mixstage_factory, mixstage_state
+    k = 3
+    batches = [make_batch(f.cfg, seed=100 + i) for i in range(k)]
+    coins = np.array([False, True, False])  # G, D, G
+    rngs = jnp.stack([jax.random.key_data(jax.random.key(i))
+                      for i in range(k)])
+    rkeys = [jax.random.wrap_key_data(rngs[i]) for i in range(k)]
+
+    steps = f.make_steps()
+    state_seq = state0
+    seq_losses = []
+    for i in range(k):
+        fn = steps["d"] if coins[i] else steps["g"]
+        state_seq, losses, _ = fn(state_seq, batches[i], rkeys[i],
+                                  use_pose_input=False)
+        seq_losses.append(float(losses["total"]))
+
+    scan_fn = f.make_scan_train_step(k)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    state_scan, losses_scan, poses = scan_fn(
+        state0, stacked, jnp.asarray(coins),
+        jnp.stack([jax.random.key(i) for i in range(k)]))
+    np.testing.assert_allclose(np.asarray(losses_scan["total"]),
+                               np.asarray(seq_losses), rtol=2e-4, atol=1e-5)
+    assert poses.shape[0] == k
+    # end states agree.  atol ≈ k·lr: Adam normalizes tiny gradients to
+    # ±lr-scale updates, so float32 reduction-order noise between the two
+    # XLA programs can flip isolated near-zero elements by up to ~lr/step.
+    for a, b in zip(jax.tree_util.tree_leaves(state_seq.g_params),
+                    jax.tree_util.tree_leaves(state_scan.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=3.5e-4)
+    assert int(state_scan.g_step) == int(state_seq.g_step)
+    assert int(state_scan.lambda_step) == int(state_seq.lambda_step)
