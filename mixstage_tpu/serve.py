@@ -185,3 +185,42 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
 
     return lambda audio, style_ids: serve(gen_params, gen_bstats, fd, fc,
                                           audio, style_ids)
+
+
+def build_waveform_serving_fn(factory, state, seconds: float = 4.3,
+                              sr: int = 16000, mel_fs: int = 103,
+                              pose_fs: int = 15,
+                              use_pallas: Optional[bool] = None):
+    """End-to-end ``(waveform (B, samples), style_ids) -> pose`` serving graph.
+
+    Composes the on-device log-mel frontend (``log_mel_spectrogram_jax``,
+    matching the reference's log_mel_400 pipeline — audio.py:123-148) with the
+    windowing stride (round(mel_fs / pose_fs), dataUtils.py:510-527) and the
+    fused model serving path, so raw 16 kHz audio to pose keypoints is ONE
+    jitted XLA graph — the BASELINE.json north star for the serving frontend.
+
+    Use with models trained on audio/log_mel_400 (64 mel bins).
+    """
+    from mixstage_tpu.data.audio import log_mel_spectrogram_jax
+
+    stride = round(mel_fs / pose_fs)
+    mel_window = int(seconds * mel_fs)
+    steps = len(range(0, mel_window, stride))
+    # samples required for mel_window STFT frames (n_fft 512, hop 160,
+    # center=False — audio.py log_mel_400 parameters)
+    n_samples = (mel_window - 1) * 160 + 512
+    serve = build_serving_fn(factory, state, use_pallas=use_pallas)
+
+    @jax.jit
+    def frontend(wav):
+        mel = log_mel_spectrogram_jax(wav)          # (B, frames, 64)
+        return mel[:, :mel_window:stride, :]         # (B, steps, 64)
+
+    def serve_wav(wav, style_ids):
+        assert wav.shape[-1] >= n_samples, \
+            f"need at least {n_samples} samples ({seconds}s at {sr} Hz)"
+        mel = frontend(wav[..., :n_samples])
+        assert mel.shape[1] == steps
+        return serve(mel, style_ids)
+
+    return serve_wav
