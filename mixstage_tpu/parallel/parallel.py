@@ -23,3 +23,14 @@ def get_parallel_list(x_list, n):
             sublist = []
     if sublist:
         yield sublist
+
+
+def get_tensor_items(x):
+    """List-of-scalars coercion used when fanning tensor batches out to
+    per-item host jobs (reference parallel.py:16)."""
+    if x is None:
+        return None
+    out = []
+    for item in x:
+        out.append(item.item() if hasattr(item, "item") else item)
+    return out
