@@ -643,7 +643,7 @@ class Data(Modality):
             d = pose[1:, 1:] - pose[:-1, 1:]
             return np.sqrt((d ** 2).sum(-1)).mean()
 
-        samples = [vel(np.asarray(self.datasets["train"].datasets and loader.dataset[i][pose_modality]))
+        samples = [vel(np.asarray(loader.dataset[i][pose_modality]))
                    for i in range(len(loader.dataset))]
         samples = np.array(samples, dtype=np.float64)
         if kind == "above":

@@ -186,3 +186,25 @@ def test_data_sample_view(synth, tmp_path):
                     batch_size=4)
     batch = next(iter(ds.train))
     assert batch["pose/data"].shape[1:] == (64, 104)
+
+
+def test_quantile_sampler_kinds(synth):
+    """Velocity-quantile training subsets: above / tail / rebalance
+    (reference dataUtils.py:353-446)."""
+    d_above = Data(synth, ["oliver"], modalities=["pose/data"], fs_new=[15],
+                   time=4.3, batch_size=4, window_hop=5, quantile_sample=0.5)
+    n_total = len(d_above.train.dataset)
+    assert 0 < len(d_above.train.sampler) <= n_total // 2 + 1
+
+    d_tail = Data(synth, ["oliver"], modalities=["pose/data"], fs_new=[15],
+                  time=4.3, batch_size=4, window_hop=5,
+                  quantile_sample=[0.25, 0.75])
+    assert 0 < len(d_tail.train.sampler) <= n_total
+
+    d_reb = Data(synth, ["oliver"], modalities=["pose/data"], fs_new=[15],
+                 time=4.3, batch_size=4, window_hop=5, quantile_sample=4,
+                 quantile_num_training_sample=3)
+    # BalanceClassSampler: num_samples = (3*batch) // classes * classes
+    assert len(d_reb.train.sampler) > 0
+    idx = list(iter(d_reb.train.sampler))
+    assert max(idx) < n_total
