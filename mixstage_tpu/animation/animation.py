@@ -34,33 +34,35 @@ def have_ffmpeg() -> bool:
 
 
 def split_text(text, max_length: int = 27):
-    """Chunk the word table into caption lines (animation.py:28-41)."""
-    text_subs, start, cum_length = [], 0, 0
-    for end, row in text.iterrows():
-        if len(row["Word"]) + 1 + cum_length > max_length:
-            text_subs.append(text.iloc[start:end].reset_index(drop=True))
-            start = end
-            cum_length = len(row["Word"])
+    """Greedily wrap the word table into caption lines.
+
+    Behavioral contract shared with reference ``animation.py:28-41`` (27-char
+    monospace caption rows, a word costs ``len+1`` for its trailing space,
+    the first word of a line costs only ``len``); expressed here as a single
+    pass over the word lengths instead of DataFrame row iteration.
+    """
+    lengths = [len(str(w)) for w in text["Word"]]
+    lines, line_start, used = [], 0, 0
+    for i, n in enumerate(lengths):
+        if used + n + 1 > max_length:
+            lines.append((line_start, i))
+            line_start, used = i, n
         else:
-            cum_length += len(row["Word"]) + 1
-    if cum_length > 0:
-        text_subs.append(text.iloc[start:])
-    return text_subs
+            used += n + 1
+    if used > 0:
+        lines.append((line_start, len(lengths)))
+    return [text.iloc[s:e].reset_index(drop=True) for s, e in lines]
 
 
 def get_line_segments(x, y, num_segments: int = 20):
-    """Subdivide a bone into segments for tapered line widths
-    (animation.py:78-97)."""
-    def get_ranges(a, b):
-        eps = (b - a) / num_segments
-        if eps == 0:
-            return np.repeat(a, repeats=num_segments)
-        return np.arange(a, b + eps, eps)
-
-    X, Y = get_ranges(*x), get_ranges(*y)
-    n = min(X.shape[0], Y.shape[0])
-    seg = np.stack([X[:n], Y[:n]], axis=-1)
-    return np.stack([seg[:-1], seg[1:]], axis=1)
+    """Subdivide the bone from (x0, y0) to (x1, y1) into ``num_segments``
+    consecutive 2-point segments, the input LineCollection expects for
+    tapered widths (fills the role of reference ``animation.py:78-97``;
+    implemented with a single linspace instead of per-axis aranges, which
+    also fixes the float-fencepost extra segment the arange version
+    produced)."""
+    pts = np.linspace((x[0], y[0]), (x[1], y[1]), num_segments + 1)
+    return np.stack([pts[:-1], pts[1:]], axis=1)
 
 
 def _tapered_widths(min_w, max_w, segs=100):
@@ -242,10 +244,9 @@ def render_ground_truth(args, exp_num):
 
     for desc in ["train", "dev", "test"]:
         for minidata in data.datasets[desc].datasets:
-            try:
-                text = pd.read_hdf(minidata.path2h5, "text/meta")
-            except Exception:
-                text = None
+            from mixstage_tpu.data.text import read_text_meta
+
+            text = read_text_meta(minidata.path2h5)
             loader = DataLoader(minidata, batch_size=len(minidata) or 1,
                                 shuffle=False)
             for batch in loader:

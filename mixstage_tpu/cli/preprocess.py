@@ -31,8 +31,9 @@ def loop(args: Config, exp_num: int):
             methods = methods[0]
         speaker = args.speaker if isinstance(args.speaker, list) \
             else [args.speaker]
+        extra = {"text_aligned": args.text_aligned} if kind == "text" else {}
         mod = cls(path2data=args.path2data, path2outdata=args.path2outdata,
-                  speaker=speaker, preprocess_methods=methods)
+                  speaker=speaker, preprocess_methods=methods, **extra)
         mod.preprocess()
         print(f"{modality} preprocessing done")
 

@@ -183,10 +183,9 @@ class MiniData(HDF5):
 
         self.text_df = None
         if self.text_in_modalities:
-            try:
-                self.text_df = pd.read_hdf(self.path2h5, key="text/meta")
-            except Exception:
-                self.text_df = None
+            from mixstage_tpu.data.text import read_text_meta
+
+            self.text_df = read_text_meta(self.path2h5)
 
         self.idx_start_list_dict: Dict[str, np.ndarray] = {}
         self.idx_end_list_dict: Dict[str, np.ndarray] = {}

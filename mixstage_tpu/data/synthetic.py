@@ -43,11 +43,32 @@ def _smooth_pose(rng: np.ndarray, num_frames: int, speaker_id: int,
     return out
 
 
+_WORDS = ["the", "gesture", "speaks", "louder", "than", "words", "and",
+          "style", "matters", "unbelievable", "punctuation"]
+
+
+def _fmt_td(seconds: float) -> str:
+    """Seconds → '0 days H:MM:SS.ffffff' (the master-CSV time format the
+    reference parses via ``pd.to_timedelta(... .str.split().str[1])``)."""
+    h = int(seconds // 3600)
+    m = int(seconds % 3600 // 60)
+    s = seconds % 60
+    return f"0 days {h}:{m:02d}:{s:09.6f}"
+
+
 def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
                            num_intervals_per_speaker: int = 3,
                            interval_seconds: float = 25.0,
-                           with_text: bool = False, seed: int = 11212) -> str:
-    """Write a synthetic dataset under ``path2data``; returns the path."""
+                           with_text: bool = False,
+                           with_raw_transcripts: bool = False,
+                           seed: int = 11212) -> str:
+    """Write a synthetic dataset under ``path2data``; returns the path.
+
+    ``with_raw_transcripts`` also writes the *raw* PATS layout consumed by
+    the not-aligned text path (reference text.py:142-237): one video per
+    speaker whose intervals run back-to-back, with a word-timing CSV at
+    ``raw/<speaker>/<video>_transcripts/<video>.csv``.
+    """
     if speakers is None:
         speakers = ["oliver", "maher"]
     rng = np.random.default_rng(seed)
@@ -55,9 +76,21 @@ def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
     os.makedirs(path2data, exist_ok=True)
     interval_counter = 100000
     for si, speaker in enumerate(speakers):
+        video_id = f"{speaker}vid00"
+        transcript_rows = []
         for k in range(num_intervals_per_speaker):
             interval_id = str(interval_counter)
             interval_counter += 1
+            video_start = k * interval_seconds
+            if with_raw_transcripts:
+                # one word every ~0.5 s across the interval (video time)
+                t = video_start
+                while t < video_start + interval_seconds - 0.25:
+                    transcript_rows.append(
+                        {"Word": _WORDS[int(rng.integers(len(_WORDS)))],
+                         "Start": round(t, 3),
+                         "End": round(t + 0.45, 3)})
+                    t += 0.5
             num_pose = int(interval_seconds * POSE_FS)
             num_audio = int(interval_seconds * AUDIO_FS)
             pose = _smooth_pose(rng, num_pose, si,
@@ -83,9 +116,16 @@ def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
                 if num_intervals_per_speaker >= 3 else "train"
             rows.append({"speaker": speaker, "interval_id": interval_id,
                          "dataset": dataset, "delta_time": interval_seconds,
-                         "start_time": "0:00:00.000000",
-                         "end_time": f"0:00:{interval_seconds:06.3f}",
-                         "video_fn": f"{speaker}_video.mp4"})
+                         "start_time": _fmt_td(video_start),
+                         "end_time": _fmt_td(video_start + interval_seconds),
+                         "video_fn": f"{speaker}_video.mp4",
+                         "video_link":
+                             f"https://youtube.com/watch?v={video_id}"})
+        if with_raw_transcripts:
+            tdir = Path(path2data) / "raw" / speaker / f"{video_id}_transcripts"
+            os.makedirs(tdir, exist_ok=True)
+            pd.DataFrame(transcript_rows).to_csv(tdir / f"{video_id}.csv",
+                                                 index=False)
     pd.DataFrame(rows).to_csv(Path(path2data) / "cmu_intervals_df.csv",
                               index=False)
     return path2data

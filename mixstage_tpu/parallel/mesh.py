@@ -37,21 +37,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Device-put a dict batch with the leading axis sharded over the mesh.
+def shard_batch(batch, mesh: Mesh, leading_axis: int = 0):
+    """Device-put a dict batch with ``leading_axis`` sharded over the mesh.
 
-    Batches whose leading dim does not divide the mesh size are replicated
-    instead (correct, just not parallel) — this only happens on ragged final
-    batches and the batch-1 sampling path.
+    ``leading_axis=0`` is the normal per-step batch; the fused scan driver
+    stacks k batches to (k, B, ...) and shards axis 1.  Arrays whose batch
+    dim does not divide the mesh size are replicated instead (correct, just
+    not parallel) — this only happens on ragged final batches and the
+    batch-1 sampling path.
     """
     n = mesh.devices.size
-    data_sh = batch_sharding(mesh)
+    axis = mesh.axis_names[0]
     repl = replicated(mesh)
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
-        if x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, data_sh)
+        if x.ndim > leading_axis and x.shape[leading_axis] % n == 0:
+            spec = [None] * (leading_axis + 1)
+            spec[leading_axis] = axis
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, repl)
 
     return jax.tree.map(put, batch)

@@ -74,3 +74,28 @@ def lambda_schedule(step, init_lambda: float, max_lambda: float = 2.0,
     """
     frac = jnp.clip(step / max_interval, 0.0, 1.0)
     return init_lambda + (max_lambda - init_lambda) * frac
+
+
+def adaptive_d_prob(d_prob: float, W, dg_iter_ratio: float = 1.0,
+                    ema: float = 0.9, lo: float = 0.05,
+                    hi: float = 0.95) -> float:
+    """Adapt the host-side D/G coin probability from the weighted-GAN sample
+    weights (``-update_D_prob_flag``).
+
+    The reference declares this feedback hook (``gan.py:44,97-98`` calls
+    ``self.update_D_prob(W)``) but its base implementation is a stub
+    (gan.py:83-84); we implement the documented intent: W = 1/p_real, so a
+    high mean W means the discriminator is unconvinced by *real* samples —
+    it is weak and should train more often.  The effective iteration ratio
+    becomes ``r·mean(W)`` and the new coin probability ``r'/(r'+1)``,
+    EMA-smoothed and clipped so neither player is starved.  Host-side float
+    math — never traced (replica-consistent by construction).
+    """
+    import numpy as np
+
+    w_mean = float(np.mean(np.asarray(W, np.float64)))
+    if not np.isfinite(w_mean) or w_mean <= 0:
+        return d_prob
+    r_eff = dg_iter_ratio * w_mean
+    target = r_eff / (r_eff + 1.0)
+    return float(np.clip(ema * d_prob + (1.0 - ema) * target, lo, hi))

@@ -586,13 +586,19 @@ class StepFactory:
             keys = {"pose", "G_gan", "real_D", "fake_D", "total"}
             if cfg.has_style:
                 keys |= {"label", "id_in", "id_out"}
+            if cfg.gan and cfg.weighted:
+                keys |= {"W"}  # (B,) sample weights for host feedback
             return sorted(keys)
 
         keys = union_keys()
 
         def norm(losses):
-            zero = jnp.zeros_like(losses["total"])
-            return {key: losses.get(key, zero) for key in keys}
+            # f32 scalars regardless of compute dtype: the G and D branches
+            # of the lax.cond must return identical output types even under
+            # -dtype bfloat16
+            zero = jnp.zeros((), jnp.float32)
+            return {key: losses.get(key, zero).astype(jnp.float32)
+                    for key in keys}
 
         def body(state, inp):
             batch, coin_d, rng = inp
@@ -600,19 +606,19 @@ class StepFactory:
                 def d_branch(st):
                     st, losses, pose = self._d_step(st, batch, rng,
                                                     use_pose_input=False)
-                    return st, (norm(losses), pose)
+                    return st, (norm(losses), pose.astype(cfg.dtype))
 
                 def g_branch(st):
                     st, losses, pose = self._g_step(st, batch, rng,
                                                     use_pose_input=False)
-                    return st, (norm(losses), pose)
+                    return st, (norm(losses), pose.astype(cfg.dtype))
 
                 state, (losses, pose) = jax.lax.cond(coin_d, d_branch,
                                                      g_branch, state)
             else:
                 state, losses, pose = self._simple_train_step(
                     state, batch, rng, use_pose_input=False)
-                losses = norm(losses)
+                losses, pose = norm(losses), pose.astype(cfg.dtype)
             return state, (losses, pose)
 
         def scan_step(state, batches, coins, rngs):

@@ -179,6 +179,9 @@ class Trainer:
 
         # --------------------------------------------------------- state/init
         self._coin = np.random.default_rng(args.seed or 0)
+        # dynamic D/G coin probability (adapted when -update_D_prob_flag 1,
+        # reference gan.py:44,97-98)
+        self._d_prob = self.step_cfg.d_prob
         batch0 = self._peek_batch()
         self.state = self.factory.init(jax.random.key(args.seed or 0), batch0)
         self.state = replicate_state(self.state, self.mesh)
@@ -246,7 +249,26 @@ class Trainer:
         return bool(self._coin.random() > thresh)
 
     def _gan_coin(self) -> bool:
-        return bool(self._coin.random() < self.step_cfg.d_prob)
+        return bool(self._coin.random() < self._d_prob)
+
+    def _maybe_update_d_prob(self, W):
+        """-update_D_prob_flag feedback: adapt the D/G coin from the sample
+        weights (see losses.adaptive_d_prob)."""
+        if getattr(self.args, "update_D_prob_flag", 0):
+            from mixstage_tpu.train.losses import adaptive_d_prob
+
+            self._d_prob = adaptive_d_prob(self._d_prob, W,
+                                           self.step_cfg.dg_iter_ratio)
+
+    def _weighted_feedback(self, batch, W):
+        """Per-sample weight → sampler feedback (trainer.py:622-625) +
+        optional D_prob adaptation."""
+        if hasattr(self.data_train.sampler, "weights"):
+            idx = np.asarray(batch.get("idx", []))
+            if idx.size:
+                Wc = np.clip(np.asarray(W, np.float64), 0.1, None)
+                self.data_train.sampler.weights[idx[:len(Wc)]] = Wc[:len(idx)]
+        self._maybe_update_d_prob(np.asarray(W))
 
     # ------------------------------------------------------------------ train
     def train(self, exp_num):
@@ -333,12 +355,8 @@ class Trainer:
             running_count += B
 
             # weighted-GAN sampler feedback (trainer.py:622-625)
-            if (desc == "train" and self.args.weighted and "W" in losses
-                    and hasattr(self.data_train.sampler, "weights")):
-                idx = np.asarray(batch.get("idx", []))
-                if idx.size:
-                    W = np.clip(np.asarray(losses["W"], np.float64), 0.1, None)
-                    self.data_train.sampler.weights[idx[:len(W)]] = W[:len(idx)]
+            if desc == "train" and self.args.weighted and "W" in losses:
+                self._weighted_feedback(batch, losses["W"])
 
             if not self.step_cfg.is_classifier:
                 y_cap = np.asarray(y_cap, np.float64)
@@ -725,6 +743,8 @@ class Trainer:
                     if v.ndim == 0:
                         running[key] = running.get(key, 0.0) + float(v) * B
                 running_count += B
+                if self.args.weighted and "W" in losses:
+                    self._weighted_feedback(batch, np.asarray(losses["W"][i]))
                 if not self.step_cfg.is_classifier:
                     kwargs = {}
                     if "style" in sb:
@@ -779,6 +799,8 @@ class Trainer:
         for key, v in losses.items():
             if np.ndim(v) == 0:
                 running[key] = running.get(key, 0.0) + float(v) * B
+        if self.args.weighted and "W" in losses:
+            self._weighted_feedback(batch, losses["W"])
         if not self.step_cfg.is_classifier:
             kwargs = {}
             if "style" in step_batch:

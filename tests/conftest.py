@@ -1,25 +1,46 @@
 """Test config: run JAX on a virtual 8-device CPU mesh (SURVEY.md §4) so
-multi-chip sharding is validated without TPU hardware."""
+multi-chip sharding is validated without TPU hardware.
+
+Set ``MIXSTAGE_TPU_TESTS=1`` to keep the session's real TPU backend instead;
+combine with ``-m tpu`` to run only the compiled-on-TPU parity tests:
+
+    MIXSTAGE_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+"""
 
 import os
 
-# NOTE: the harness presets JAX_PLATFORMS=axon (TPU) and its sitecustomize
-# pins it via jax.config, which beats the env var — so override via config.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+ON_TPU = bool(os.environ.get("MIXSTAGE_TPU_TESTS"))
+
+if not ON_TPU:
+    # NOTE: the harness presets JAX_PLATFORMS=axon (TPU) and its sitecustomize
+    # pins it via jax.config, which beats the env var — so override via config.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: re-runs of the suite skip the big CPU compiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """tpu-marked tests only run on a real TPU backend (MIXSTAGE_TPU_TESTS=1)."""
+    if ON_TPU and jax.default_backend() != "cpu":
+        return
+    skip = pytest.mark.skip(
+        reason="needs real TPU: MIXSTAGE_TPU_TESTS=1 pytest -m tpu")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

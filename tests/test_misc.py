@@ -166,3 +166,56 @@ def test_full_train_state_checkpoint(tmp_path):
     assert int(restored.g_opt_state[0].count) == 0  # freshly-inited count ok
     np.testing.assert_array_equal(np.asarray(restored.g_params["w"]),
                                   np.arange(4.0))
+
+
+def test_adaptive_d_prob_responds_to_W():
+    """-update_D_prob_flag: the D/G coin probability adapts from the sample
+    weights (reference gan.py:44,97-98 hook, implemented in
+    losses.adaptive_d_prob)."""
+    from mixstage_tpu.train.losses import adaptive_d_prob
+
+    # weak discriminator (high W = 1/p_real) -> D trains more often
+    p = 0.5
+    for _ in range(60):
+        p = adaptive_d_prob(p, np.full(8, 4.0))
+    assert p > 0.7
+    # strong discriminator -> D trains less often
+    q = 0.5
+    for _ in range(60):
+        q = adaptive_d_prob(q, np.full(8, 0.25))
+    assert q < 0.3
+    # degenerate weights leave the coin unchanged
+    assert adaptive_d_prob(0.5, np.zeros(4)) == 0.5
+    assert adaptive_d_prob(0.5, np.full(4, np.nan)) == 0.5
+
+
+def test_trainer_coin_frequency_responds_to_d_prob_update():
+    """The trainer's host coin machinery: repeated high-W feedback raises
+    the empirical D-step frequency (VERDICT round-1 item 5)."""
+    from types import SimpleNamespace
+
+    from mixstage_tpu.train.trainer import Trainer
+
+    stub = SimpleNamespace(
+        args=SimpleNamespace(update_D_prob_flag=1),
+        step_cfg=SimpleNamespace(dg_iter_ratio=1.0),
+        _coin=np.random.default_rng(0), _d_prob=0.5)
+    coin_before = np.mean([Trainer._gan_coin(stub) for _ in range(4000)])
+    for _ in range(60):
+        Trainer._maybe_update_d_prob(stub, np.full(8, 5.0))
+    coin_after = np.mean([Trainer._gan_coin(stub) for _ in range(4000)])
+    assert stub._d_prob > 0.75
+    assert coin_after > coin_before + 0.15
+
+
+def test_disentangle_composition_rejected_loudly():
+    """Upstream defines the Disentangle trainer but ships no Disentangle
+    model; requesting one must raise a specific error, not silently
+    downgrade (reference trainer.py:1419-1474)."""
+    from mixstage_tpu.models.registry import (DISENTANGLE_LOSS_KINDS,
+                                              get_model_def)
+
+    with pytest.raises(NotImplementedError, match="upstream-incomplete"):
+        get_model_def("JointLateClusterSoftStyleDisentangle2_G")
+    assert DISENTANGLE_LOSS_KINDS[:4] == ["pose", "G_gan", "real_D", "fake_D"]
+    assert "H" in DISENTANGLE_LOSS_KINDS

@@ -124,3 +124,61 @@ def test_waveform_serving_graph():
     stride = round(103 / 15)
     windowed = mel_np[:int(4.3 * 103):stride]
     assert windowed.shape[0] == 64
+
+
+@pytest.mark.tpu
+def test_fused_decoder_compiled_on_tpu():
+    """Numerical parity of the Pallas decoder kernel COMPILED on the chip
+    (round-1 VERDICT item 6: interpret-mode CI never exercised the Mosaic
+    compile path).  Run: MIXSTAGE_TPU_TESTS=1 python -m pytest tests/ -m tpu -q"""
+    from mixstage_tpu.serve import folded_decoder_xla
+
+    rng = np.random.default_rng(4)
+    B, T, G, C, F, L = 4, 64, 8, 128, 96, 2
+    C0, C0p = 138, 256
+    x = jnp.asarray(rng.normal(size=(B, T, C0)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(G, 3, C0p, C)) * 0.05, jnp.float32)
+    w0 = w0.at[:, :, C0:, :].set(0.0)
+    wc = jnp.asarray(rng.normal(size=(L, G, 3, C, C)) * 0.05, jnp.float32)
+    biases = jnp.asarray(rng.normal(size=(G, L + 1, C)) * 0.1, jnp.float32)
+    wl = jnp.asarray(rng.normal(size=(G, C, F)) * 0.05, jnp.float32)
+    bl = jnp.asarray(rng.normal(size=(G, F)) * 0.1, jnp.float32)
+
+    fd = {"w0": w0, "wc": wc, "biases": biases, "w_logits": wl,
+          "b_logits": bl, "c0": C0}
+    ref = np.asarray(folded_decoder_xla(x, fd, G))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, C0p - C0)))
+    out = np.asarray(fused_mixstage_decoder(xp, w0, wc, biases, wl, bl,
+                                            groups=G, interpret=False))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.tpu
+def test_serving_pallas_path_on_tpu_within_drift_budget():
+    """build_serving_fn(use_pallas=True) on the real chip vs the XLA folded
+    path: ≤1% relative drift (the stated serving contract, CLAUDE.md)."""
+    from mixstage_tpu.serve import build_serving_fn
+    from mixstage_tpu.train.steps import StepConfig, StepFactory
+
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=8, num_speakers=8)
+    factory = StepFactory(cfg, donate=False)
+    rng = np.random.default_rng(5)
+    B, T = 4, 64
+    batch = {
+        "x": (jnp.asarray(rng.normal(size=(B, T, 128)), jnp.float32),),
+        "y": jnp.asarray(rng.normal(size=(B, T, 96)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 8, size=(B, T))),
+        "style": jnp.asarray(np.zeros((B, T)), jnp.int32),
+    }
+    state = factory.init(jax.random.key(0), batch)
+    styles = jnp.zeros((B,), jnp.int32)
+    pose_xla = np.asarray(
+        build_serving_fn(factory, state, use_pallas=False)(batch["x"][0],
+                                                           styles))
+    pose_pal = np.asarray(
+        build_serving_fn(factory, state, use_pallas=True)(batch["x"][0],
+                                                          styles))
+    scale = np.abs(pose_xla).mean()
+    rel = np.abs(pose_pal - pose_xla).mean() / max(scale, 1e-9)
+    assert rel <= 0.01, f"fused serving drift {rel:.4%} exceeds 1% budget"

@@ -84,3 +84,37 @@ def test_html_grid(tmp_path):
     html = open(page).read()
     assert "oliver" in html and "maher" in html
     assert "1.mp4" in html
+
+
+def test_split_text_wraps_at_line_length():
+    import pandas as pd
+
+    from mixstage_tpu.animation.animation import split_text
+
+    words = ["alpha", "beta", "gamma", "deltafour", "eps", "unbelievably",
+             "zed"]
+    text = pd.DataFrame({"Word": words, "start_frame": range(7),
+                         "end_frame": range(1, 8)})
+    lines = split_text(text, max_length=27)
+    # every line fits in the budget (len(word)+1 per word, first word len)
+    for line in lines:
+        ws = [str(w) for w in line["Word"]]
+        assert len(ws[0]) + sum(len(w) + 1 for w in ws[1:]) <= 27
+    # no word lost, order preserved
+    assert [w for line in lines for w in line["Word"]] == words
+
+
+def test_get_line_segments_shape_and_endpoints():
+    from mixstage_tpu.animation.animation import get_line_segments
+
+    seg = get_line_segments(x=[0.0, 2.0], y=[1.0, -1.0], num_segments=20)
+    assert seg.shape == (20, 2, 2)
+    np.testing.assert_allclose(seg[0, 0], [0.0, 1.0])
+    np.testing.assert_allclose(seg[-1, 1], [2.0, -1.0])
+    # consecutive segments share endpoints
+    np.testing.assert_allclose(seg[:-1, 1], seg[1:, 0])
+    # degenerate bone: all segments collapse to the point
+    seg0 = get_line_segments(x=[3.0, 3.0], y=[4.0, 4.0], num_segments=8)
+    assert seg0.shape == (8, 2, 2)
+    np.testing.assert_allclose(seg0, 3.0 * np.ones_like(seg0) *
+                               np.array([1.0, 4.0 / 3.0]))

@@ -220,3 +220,33 @@ def test_scan_driver_matches_per_step(mixstage_factory, mixstage_state):
                                    rtol=5e-4, atol=3.5e-4)
     assert int(state_scan.g_step) == int(state_seq.g_step)
     assert int(state_scan.lambda_step) == int(state_seq.lambda_step)
+
+
+def test_bf16_eval_pck_parity(mixstage_factory, mixstage_state):
+    """-dtype bfloat16 numerics: same weights, bf16 vs f32 eval — PCK@0.2 of
+    the bf16 poses against the f32 poses must be ~1 (the poses are the same
+    gesture) and the per-element drift small relative to signal scale
+    (round-1 VERDICT item 3: the bf16 path existed unbenchmarked with no
+    parity evidence)."""
+    from mixstage_tpu.evaluation.metrics import PCK
+
+    cfg32 = mixstage_factory.cfg
+    cfg16 = StepConfig(**{**cfg32.__dict__, "dtype": jnp.bfloat16})
+    f16 = StepFactory(cfg16, donate=False)
+    batch = make_batch(cfg32, seed=7)
+    # identical f32 params: param_dtype is f32 in both modes
+    state = mixstage_state
+    _, pose32, _ = mixstage_factory.make_steps()["eval"](
+        state, batch, use_pose_input=False, sample_flag=True)
+    _, pose16, _ = f16.make_steps()["eval"](
+        state, batch, use_pose_input=False, sample_flag=True)
+    p32 = np.asarray(pose32, np.float64)
+    p16 = np.asarray(pose16, np.float64)
+    # relative drift
+    rel = np.abs(p16 - p32).mean() / np.abs(p32).mean()
+    assert rel < 0.05, f"bf16 eval drift {rel:.3%}"
+    # PCK of bf16 prediction treating f32 prediction as ground truth
+    n_joints = p32.shape[-1] // 2
+    pck = PCK(alphas=[0.2], num_joints=n_joints)
+    pck(p16.reshape(-1, 2, n_joints), p32.reshape(-1, 2, n_joints))
+    assert pck.avg_meters["pck"].avg > 0.99
