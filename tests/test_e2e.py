@@ -154,3 +154,50 @@ def test_scan_steps_training(synth, tmp_path_factory):
     loss, metrics, _ = tr.train_loop(tr.data_train, "train", epoch=0)
     assert np.isfinite(loss)
     assert metrics["train_steps_per_sec"] > 0
+
+
+def test_scan_loop_driver_logic_with_stub(synth, tmp_path_factory):
+    """Exercises the trainer's _train_loop_scan mechanics — batch pending,
+    k-flush, ragged-tail fallback, loss/metric accounting — with a stubbed
+    scan step, so the driver logic runs in CI without the multi-10-minute
+    scanned-GAN compile (that compile path itself is the @heavy
+    test_scan_steps_training; SGD equivalence is
+    tests/test_steps.py::test_scan_driver_matches_per_step)."""
+    import jax.numpy as jnp
+
+    save_dir = str(tmp_path_factory.mktemp("save_scanstub"))
+    cfg = base_cfg(synth, save_dir, model="JointLateClusterSoftStyle4_G",
+                   gan=1, num_clusters=2, num_epochs=1, exp=32,
+                   scan_steps=2, debug=0, num_iters=0)
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    tr.state = tr.state.replace(curriculum_step=jnp.asarray(10_000))
+
+    calls = {"scan": 0, "per_step": []}
+    k = tr._scan_k
+
+    def fake_scan(state, stacked, coins, rngs):
+        calls["scan"] += 1
+        B = stacked["y"].shape[1]
+        losses = {"total": jnp.ones((k,)), "pose": jnp.ones((k,)) * 0.5}
+        poses = jnp.zeros((k,) + stacked["y"].shape[1:])
+        return state.replace(step=state.step + k), losses, poses
+
+    real_d, real_g = tr.steps["d"], tr.steps["g"]
+
+    def spy(name, fn):
+        def wrapped(state, batch, rng, **kw):
+            calls["per_step"].append(name)
+            return fn(state, batch, rng, **kw)
+        return wrapped
+
+    tr._scan_step = fake_scan
+    tr.steps = {**tr.steps, "d": spy("d", real_d), "g": spy("g", real_g)}
+
+    loss, metrics, _ = tr.train_loop(tr.data_train, "train", epoch=0)
+    assert np.isfinite(loss)
+    assert calls["scan"] >= 1, "full-k batches must go through the scan"
+    # the dataset size is not a multiple of k*batch: the ragged tail must
+    # fall back to the per-step path
+    n_batches = calls["scan"] * k + len(calls["per_step"])
+    assert n_batches > calls["scan"] * k, "ragged tail exercised"
+    assert metrics["train_steps_per_sec"] > 0
