@@ -1,13 +1,18 @@
 """Decompose Mix-StAGE training-step time on the TPU.
 
-Times (differential chain timing, see bench.py) the pieces of the G step so
-perf work targets the real bottleneck:
+Per-call dispatch through this container's device tunnel costs ~6-10 ms, so
+per-call timing cannot decompose a ~3.6 ms step.  Instead each piece is
+wrapped in a ``lax.scan`` of K iterations inside ONE dispatch (with the
+batch perturbed by the carry so XLA cannot hoist loop-invariant work), and
+the per-iteration device time is the differential chain time divided by K.
 
+Pieces:
   fwd            eval-mode generator forward (style path)
+  fwd_train      train-mode forward (BN batch stats computed)
   fwd+bwd        value_and_grad of the G loss, no optimizer
-  optimizer      adam update + apply on frozen grads
-  g_step         full per-step G update
-  scan16         fused 16-step driver, per-step
+  optimizer      adam+clip update/apply on frozen grads
+  g_full         full G step (forward+backward+D-in-train+optimizer)
+  scan16         the production fused driver (G/D coin mix)
 
 Usage:  python benchmarks/profile_train.py [bf16]
 """
@@ -21,7 +26,36 @@ import numpy as np
 
 sys.path.insert(0, Path(__file__).resolve().parent.parent.as_posix())
 
-from bench import build, chain_time, fetch, marginal_time, flops_of, log  # noqa: E402
+from bench import build, marginal_time, log  # noqa: E402
+
+K = 16
+
+
+def scan_piece(body_fn, init_carry, jit_kwargs=None):
+    """One-dispatch K-iteration scan of body_fn(carry) -> carry."""
+    import jax
+
+    def scanned(carry):
+        def step(c, _):
+            return body_fn(c), None
+
+        out, _ = jax.lax.scan(step, carry, None, length=K)
+        return out
+
+    return jax.jit(scanned, **(jit_kwargs or {}))
+
+
+def time_scanned(scanned, init_carry, scalar_of, chain=6):
+    """Marginal seconds per *iteration*: chain scanned dispatches, divide by K."""
+    holder = {"c": init_carry}
+
+    def run_chain(n):
+        for _ in range(n):
+            holder["c"] = scanned(holder["c"])
+        return scalar_of(holder["c"])
+
+    run_chain(1)  # compile
+    return marginal_time(run_chain, n=chain) / K
 
 
 def main():
@@ -44,133 +78,165 @@ def main():
     state = factory.init(jax.random.key(0), batch)
     state = replicate_state(state, mesh)
     batch = shard_batch(batch, mesh)
+    eps = jnp.asarray(1e-6, batch["y"].dtype)
 
-    # ---- fwd only ----------------------------------------------------------
-    @jax.jit
-    def fwd(state, batch):
-        pose, losses, _, _ = factory._style_forward(
-            state.g_params, state.g_state, batch, False, False, False,
-            jax.random.key(0))
-        return pose.sum().astype(jnp.float32)
+    def perturbed(batch, s):
+        # tie the inputs to the carry so the loop body cannot be hoisted
+        return {**batch,
+                "x": tuple(x + (s * eps).astype(x.dtype) for x in batch["x"]),
+                "y": batch["y"] + (s * eps).astype(batch["y"].dtype)}
 
-    def fwd_chain(n):
-        out = None
-        for _ in range(n):
-            out = fwd(state, batch)
-        return out
+    results = {}
 
-    fwd_chain(1)
-    t_fwd = marginal_time(fwd_chain, n=32)
-    log(f"fwd (eval-mode): {t_fwd * 1e3:.3f} ms  "
-        f"[{(flops_of(fwd, state, batch) or 0) / 1e9:.1f} GFLOP]")
+    # ---- fwd (eval mode) ----------------------------------------------------
+    def fwd_body(c):
+        s = c
+        pose, _, _, _ = factory._style_forward(
+            state.g_params, state.g_state, perturbed(batch, s), False, False,
+            False, jax.random.key(0))
+        return (pose.mean() * 0 + s + 1).astype(jnp.float32)
 
-    # ---- fwd in train mode (BN stat updates) -------------------------------
-    @jax.jit
-    def fwd_train(state, batch):
-        pose, losses, new_state, _ = factory._style_forward(
-            state.g_params, state.g_state, batch, False, True, False,
-            jax.random.key(0))
-        return pose.sum().astype(jnp.float32)
+    results["fwd_eval"] = time_scanned(scan_piece(fwd_body, None),
+                                       jnp.zeros((), jnp.float32), lambda c: c)
+    log(f"fwd (eval-mode): {results['fwd_eval'] * 1e3:.3f} ms/iter")
 
-    def fwdt_chain(n):
-        out = None
-        for _ in range(n):
-            out = fwd_train(state, batch)
-        return out
+    # ---- fwd (train mode: batch stats) ---------------------------------------
+    def fwdt_body(c):
+        s = c
+        pose, _, _, _ = factory._style_forward(
+            state.g_params, state.g_state, perturbed(batch, s), False, True,
+            False, jax.random.key(0))
+        return (pose.mean() * 0 + s + 1).astype(jnp.float32)
 
-    fwdt_chain(1)
-    t_fwdt = marginal_time(fwdt_chain, n=32)
-    log(f"fwd (train-mode): {t_fwdt * 1e3:.3f} ms")
+    results["fwd_train"] = time_scanned(scan_piece(fwdt_body, None),
+                                        jnp.zeros((), jnp.float32),
+                                        lambda c: c)
+    log(f"fwd (train-mode): {results['fwd_train'] * 1e3:.3f} ms/iter")
 
-    # ---- fwd+bwd, no optimizer ---------------------------------------------
-    @jax.jit
-    def fwd_bwd(state, batch, rng):
+    # ---- fwd+bwd, no optimizer ------------------------------------------------
+    def bwd_body(c):
+        s = c
+
         def loss_fn(g_params):
-            pose, internal, g_state, _ = factory._style_forward(
-                g_params, state.g_state, batch, False, True, False, rng)
-            fake_v = pose[:, 1:] - pose[:, :-1]
-            pose_loss = jnp.abs(pose - batch["y"]).mean()
-            return pose_loss + sum(internal.values()), pose
+            pose, internal, _, _ = factory._style_forward(
+                g_params, state.g_state, perturbed(batch, s), False, True,
+                False, jax.random.key(0))
+            return jnp.abs(pose - batch["y"]).mean() + sum(internal.values())
 
-        (loss, pose), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.g_params)
-        return sum(jnp.sum(jnp.abs(g)) for g in
-                   jax.tree_util.tree_leaves(grads)).astype(jnp.float32)
+        g = jax.grad(loss_fn)(state.g_params)
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        return (leaf.ravel()[0] * 0 + s + 1).astype(jnp.float32)
 
-    def bwd_chain(n):
-        out = None
-        for _ in range(n):
-            out = fwd_bwd(state, batch, jax.random.key(0))
-        return out
+    results["fwd_bwd"] = time_scanned(scan_piece(bwd_body, None),
+                                      jnp.zeros((), jnp.float32), lambda c: c)
+    log(f"fwd+bwd (no optim): {results['fwd_bwd'] * 1e3:.3f} ms/iter")
 
-    bwd_chain(1)
-    t_bwd = marginal_time(bwd_chain, n=24)
-    log(f"fwd+bwd (no D, no optim): {t_bwd * 1e3:.3f} ms  "
-        f"[{(flops_of(fwd_bwd, state, batch, jax.random.key(0)) or 0) / 1e9:.1f} GFLOP]")
+    # ---- discriminator cost (the G_gan term) ----------------------------------
+    from mixstage_tpu.train import losses as L
 
-    # ---- optimizer only -----------------------------------------------------
-    grads = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-3, state.g_params)
+    pose0 = batch["y"]
 
-    @jax.jit
-    def opt_only(opt_state, params, grads):
-        updates, opt_state = factory.g_tx.update(grads, opt_state, params)
+    def dfwd_body(c):
+        s = c
+        v = L.velocity(pose0 + (s * eps).astype(pose0.dtype))
+        score, _ = factory._apply_disc(state.d_params, state.d_state, v, True)
+        return (score.mean() * 0 + s + 1).astype(jnp.float32)
+
+    results["d_fwd_train"] = time_scanned(scan_piece(dfwd_body, None),
+                                          jnp.zeros((), jnp.float32),
+                                          lambda c: c)
+    log(f"D fwd (train-mode): {results['d_fwd_train'] * 1e3:.3f} ms/iter")
+
+    def dbwd_body(c):
+        s = c
+
+        def gan_term(pose):
+            v = L.velocity(pose)
+            score, _ = factory._apply_disc(state.d_params, state.d_state, v,
+                                           True)
+            return factory.criterion(score, jnp.ones_like(score)).mean()
+
+        g = jax.grad(gan_term)(pose0 + (s * eps).astype(pose0.dtype))
+        return (g.ravel()[0] * 0 + s + 1).astype(jnp.float32)
+
+    results["d_fwd_bwd"] = time_scanned(scan_piece(dbwd_body, None),
+                                        jnp.zeros((), jnp.float32),
+                                        lambda c: c)
+    log(f"D fwd+bwd wrt pose: {results['d_fwd_bwd'] * 1e3:.3f} ms/iter")
+
+    # ---- full G loss incl G_gan (no optimizer) ---------------------------------
+    def bwdgan_body(c):
+        s = c
+
+        def loss_fn(g_params):
+            pose, internal, _, _ = factory._style_forward(
+                g_params, state.g_state, perturbed(batch, s), False, True,
+                False, jax.random.key(0))
+            v = L.velocity(pose)
+            score, _ = factory._apply_disc(state.d_params, state.d_state, v,
+                                           True)
+            G_gan = factory.criterion(score, jnp.ones_like(score)).mean()
+            return (jnp.abs(pose - batch["y"]).mean() + G_gan
+                    + sum(internal.values()))
+
+        g = jax.grad(loss_fn)(state.g_params)
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        return (leaf.ravel()[0] * 0 + s + 1).astype(jnp.float32)
+
+    results["fwd_bwd_gan"] = time_scanned(scan_piece(bwdgan_body, None),
+                                          jnp.zeros((), jnp.float32),
+                                          lambda c: c)
+    log(f"fwd+bwd incl G_gan (no optim): "
+        f"{results['fwd_bwd_gan'] * 1e3:.3f} ms/iter")
+
+    # ---- optimizer only ---------------------------------------------------------
+    grads0 = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-4, state.g_params)
+
+    def opt_body(c):
+        opt_state, params = c
+        updates, opt_state = factory.g_tx.update(grads0, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return opt_state, params, sum(
-            jnp.sum(jnp.abs(p)) for p in
-            jax.tree_util.tree_leaves(params)).astype(jnp.float32)
+        return (opt_state, params)
 
-    holder = {"o": state.g_opt_state, "p": state.g_params}
+    def opt_scalar(c):
+        return jax.tree_util.tree_leaves(c[1])[0].ravel()[0]
 
-    def opt_chain(n):
-        out = None
-        for _ in range(n):
-            holder["o"], holder["p"], out = opt_only(holder["o"], holder["p"],
-                                                     grads)
-        return out
-
-    opt_chain(1)
-    t_opt = marginal_time(opt_chain, n=32)
+    results["optimizer"] = time_scanned(
+        scan_piece(opt_body, None), (state.g_opt_state, state.g_params),
+        opt_scalar)
     n_params = sum(int(np.prod(p.shape)) for p in
                    jax.tree_util.tree_leaves(state.g_params))
-    log(f"optimizer (adam+clip apply): {t_opt * 1e3:.3f} ms  "
+    log(f"optimizer (adam+clip): {results['optimizer'] * 1e3:.3f} ms/iter "
         f"[{n_params / 1e6:.1f}M params]")
 
-    # ---- full steps ----------------------------------------------------------
-    steps = factory.make_steps()
-    st = {"s": state}
+    # ---- full G step (scan of _g_step) ------------------------------------------
+    def g_body(st):
+        st, _, _ = factory._g_step(st, batch, jax.random.key(1),
+                                   use_pose_input=False)
+        return st
 
-    def g_chain(n):
-        out = None
-        for i in range(n):
-            st["s"], losses, _ = steps["g"](st["s"], batch, jax.random.key(i),
-                                            use_pose_input=False)
-            out = losses["total"]
-        return out
+    results["g_full"] = time_scanned(scan_piece(g_body, None), state,
+                                     lambda st: jax.tree_util.tree_leaves(
+                                         st.g_params)[0].ravel()[0])
+    log(f"g_step scanned: {results['g_full'] * 1e3:.3f} ms/iter")
 
-    g_chain(1)
-    t_g = marginal_time(g_chain, n=16)
-    log(f"g_step (full): {t_g * 1e3:.3f} ms")
+    def d_body(st):
+        st, _, _ = factory._d_step(st, batch, jax.random.key(1),
+                                   use_pose_input=False)
+        return st
 
-    def d_chain(n):
-        out = None
-        for i in range(n):
-            st["s"], losses, _ = steps["d"](st["s"], batch, jax.random.key(i),
-                                            use_pose_input=False)
-            out = losses["total"]
-        return out
-
-    d_chain(1)
-    t_d = marginal_time(d_chain, n=16)
-    log(f"d_step (full): {t_d * 1e3:.3f} ms")
+    results["d_full"] = time_scanned(scan_piece(d_body, None), state,
+                                     lambda st: jax.tree_util.tree_leaves(
+                                         st.d_params)[0].ravel()[0])
+    log(f"d_step scanned: {results['d_full'] * 1e3:.3f} ms/iter")
 
     from bench import bench_scan
 
     scan_sec, _, _ = bench_scan(factory, B, 16)
-    log(f"scan16 per-step: {scan_sec * 1e3:.3f} ms")
-    log(f"decomposition: fwd {t_fwd * 1e3:.2f} | fwd_train {t_fwdt * 1e3:.2f} "
-        f"| +bwd {t_bwd * 1e3:.2f} | optim {t_opt * 1e3:.2f} "
-        f"| g {t_g * 1e3:.2f} | d {t_d * 1e3:.2f} "
-        f"| scan {scan_sec * 1e3:.2f} (dtype={dtype.__name__})")
+    log(f"scan16 (prod driver, G/D mix): {scan_sec * 1e3:.3f} ms/step")
+    log("decomposition (ms/iter): " + " | ".join(
+        f"{k} {v * 1e3:.2f}" for k, v in results.items())
+        + f" | prod {scan_sec * 1e3:.2f} (dtype={jnp.dtype(dtype).name})")
 
 
 if __name__ == "__main__":

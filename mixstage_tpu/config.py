@@ -112,6 +112,8 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("lr", float, 1e-4, "learning rate"),
     ("optimKwargs", _E, {}, "optimizer kwargs"),
     ("optim_separate", float, None, "separate lr for the text (bert) encoder"),
+    ("optim_mu_dtype", str, None,
+     "dtype for Adam first moments (bfloat16 halves optimizer HBM traffic)"),
     ("scheduler", str, None, "lr schedule kind: None (exp decay) | linear_decay"),
     ("scheduler_warmup_steps", int, 0, "warmup steps for linear decay"),
     ("gamma", float, 0.99, "exponential lr decay"),

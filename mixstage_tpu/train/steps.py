@@ -69,6 +69,9 @@ class StepConfig:
     optim: str = "Adam"
     noise: float = 0.0
     optim_separate: Optional[float] = None
+    # store Adam first moments in this dtype ('bfloat16' halves optimizer
+    # HBM traffic, ~3-5% step time; None = param dtype for exact parity)
+    optim_mu_dtype: Optional[str] = None
     p_dropout: float = 0.0
     dtype: Any = jnp.float32
     model_kwargs: Tuple = ()
@@ -148,11 +151,15 @@ class StepFactory:
         else:
             self.disc = None
         self.criterion = L.get_criterion(cfg.criterion)
+        opt_kw = ({"mu_dtype": cfg.optim_mu_dtype}
+                  if cfg.optim_mu_dtype and cfg.optim in ("Adam", "AdamW")
+                  else {})
         self.g_tx = make_optimizer(cfg.optim, cfg.lr, grad_clip=1.0,
                                    schedule=g_schedule,
-                                   text_lr=cfg.optim_separate)
+                                   text_lr=cfg.optim_separate, **opt_kw)
         self.d_tx = make_optimizer(cfg.optim, cfg.lr, grad_clip=1.0,
-                                   schedule=d_schedule) if cfg.gan else None
+                                   schedule=d_schedule, **opt_kw) \
+            if cfg.gan else None
 
     # ------------------------------------------------------------------ init
     def init(self, rng, batch) -> TrainState:

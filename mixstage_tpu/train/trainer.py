@@ -163,6 +163,7 @@ class Trainer:
             no_grad=bool(args.no_grad), weighted=bool(args.weighted),
             lr=args.lr, optim=args.optim, noise=args.noise,
             optim_separate=args.optim_separate,
+            optim_mu_dtype=getattr(args, "optim_mu_dtype", None),
             p_dropout=float(mk.pop("p", 0.0)), dtype=self.fp,
             model_kwargs=tuple(mk.items()))
         self.factory = StepFactory(self.step_cfg, g_schedule=schedule,

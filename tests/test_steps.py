@@ -250,3 +250,20 @@ def test_bf16_eval_pck_parity(mixstage_factory, mixstage_state):
     pck = PCK(alphas=[0.2], num_joints=n_joints)
     pck(p16.reshape(-1, 2, n_joints), p32.reshape(-1, 2, n_joints))
     assert pck.avg_meters["pck"].avg > 0.99
+
+
+def test_optim_mu_dtype_bf16():
+    """-optim_mu_dtype bfloat16 stores Adam first moments in bf16 (params and
+    updates stay f32); default stays f32 for exact parity."""
+    cfg = StepConfig(model="Speech2Gesture_G", gan=False, criterion="L1Loss",
+                     optim_mu_dtype="bfloat16")
+    f = StepFactory(cfg, donate=False)
+    batch = make_batch(cfg)
+    state = f.init(jax.random.key(0), batch)
+    mus = [l for l in jax.tree_util.tree_leaves(state.g_opt_state)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "bf16 moments expected in optimizer state"
+    state2, losses, _ = f.make_steps()["train"](state, batch,
+                                                jax.random.key(1))
+    assert jax.tree_util.tree_leaves(state2.g_params)[0].dtype == jnp.float32
+    assert np.isfinite(float(losses["total"]))
