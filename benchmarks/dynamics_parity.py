@@ -1,12 +1,16 @@
 """Multi-step training-dynamics comparison vs the PyTorch reference.
 
-Runs N deterministic Mix-StAGE G-steps on a fixed batch, starting from
-IDENTICAL weights, in both frameworks:
+Two experiments, both starting from IDENTICAL weights on a fixed batch:
 
-* torch: reference model files + a manual G-branch loop replicating the
-  trainer semantics (L1 pose + λ(t)·L1 GAN term + internal losses, Adam,
-  grad-clip 1 over all G params incl. the pose-style encoder);
-* jax: this framework's actual jitted ``g_step``.
+* **g_only** — N deterministic Mix-StAGE G-steps (the round-1 evidence):
+  torch reference loop (L1 pose + λ(t)·L1 GAN term + internal losses, Adam,
+  grad-clip 1) vs this framework's actual jitted ``g_step``;
+* **gan_mix** — N steps with an interleaved D/G coin pattern (D every 3rd
+  step), exercising the full adversarial runtime on both sides: the D branch
+  runs G in eval mode (running BN stats, no updates — gan.py:106-110), D's
+  batch stats update from fake-then-real in reference order (gan.py:121-127),
+  both optimizers step with grad-clip 1 (trainer.py:1138-1146), and the λ
+  ramp advances every step regardless of branch (gan.py:103).
 
 Both sides update batch-norm running stats and Adam moments every step, so
 matching loss curves demonstrate matched *training dynamics*, not just a
@@ -25,11 +29,13 @@ from pathlib import Path
 
 import numpy as np
 
+T, MEL, FEATS, M, S, B = 64, 128, 96, 4, 3, 4
 
-def main(steps: int = 20):
+
+def setup():
+    """Build reference torch models + our StepFactory state with identical
+    weights/BN stats; returns everything both loops need."""
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import torch
 
@@ -37,13 +43,12 @@ def main(steps: int = 20):
     from test_torch_parity import (_load_ref, copy_cnr, randomize_bn_stats,
                                    t2j_conv1d)
 
-    from mixstage_tpu.train.losses import lambda_schedule
     from mixstage_tpu.train.steps import StepConfig, StepFactory
 
+    torch.manual_seed(0)
     ref_jl = _load_ref("joint_late_cluster_soft_style")
     ref_s2g = _load_ref("speech2gesture")
 
-    T, MEL, FEATS, M, S, B = 64, 128, 96, 4, 3, 4
     shape = {"pose/data": [T, 104], "audio/log_mel_512": [T, MEL]}
     tG = ref_jl.JointLateClusterSoftStyle4_G(
         time_steps=T, out_feats=FEATS, num_clusters=M,
@@ -103,50 +108,113 @@ def main(steps: int = 20):
     dp["logits"]["kernel"] = t2j_conv1d(tD.logits.weight)
     dp["logits"]["bias"] = jnp.asarray(tD.logits.bias.detach().numpy().copy())
     state = state.replace(g_params=gp, g_state=gs, d_params=dp, d_state=ds)
-    jsteps = factory.make_steps()
+    return factory, state, batch, tG, tD, audio, y, labels, style_ids
 
-    # ---- torch loop ---------------------------------------------------------
+
+def run_torch(tG, tD, audio, y, labels, style_ids, coins):
+    """Reference-semantics training loop over a D/G coin sequence
+    (gan.py:105-152 + optimize, trainer.py:1138-1146)."""
+    import torch
+
+    from mixstage_tpu.train.losses import lambda_schedule
+
     kwargs = dict(input_modalities=["audio/log_mel_512"],
                   style=torch.from_numpy(style_ids).long(), sample_flag=0,
                   description="train", epoch=0)
     ta, tl, ty = (torch.from_numpy(audio), torch.from_numpy(labels).long(),
                   torch.from_numpy(y))
     g_optim = torch.optim.Adam(tG.parameters(), lr=1e-4)
-    torch_losses = []
-    for step in range(steps):
-        g_optim.zero_grad()
-        y_cap, internal = tG([ta, tl], ty, **kwargs)
-        xv = y_cap[..., 1:, :] - y_cap[..., :-1, :]
-        fake_v = torch.cat([torch.zeros_like(y_cap[..., 0:1, :]), xv], dim=-2)
-        score, _ = tD(fake_v)
+    d_optim = torch.optim.Adam(tD.parameters(), lr=1e-4)
+    L1 = torch.nn.functional.l1_loss
+
+    def vel(x):
+        xv = x[..., 1:, :] - x[..., :-1, :]
+        return torch.cat([torch.zeros_like(x[..., 0:1, :]), xv], dim=-2)
+
+    losses = []
+    for step, coin_d in enumerate(coins):
         lam = float(lambda_schedule(step, 1.0))
-        loss = (torch.nn.functional.l1_loss(y_cap, ty)
-                + lam * torch.nn.functional.l1_loss(score, torch.ones_like(score))
-                + sum(internal))
-        loss.backward()
-        torch.nn.utils.clip_grad_norm_(tG.parameters(), 1)
-        g_optim.step()
-        torch_losses.append(float(loss))
+        if coin_d:  # D branch (gan.py:105-132)
+            d_optim.zero_grad()
+            tG.eval()
+            with torch.no_grad():
+                y_cap, internal = tG([ta, tl], ty, **kwargs)
+            tG.train(True)
+            # fake score BEFORE real score — D BN-stat update order matters
+            fake_score, _ = tD(vel(y_cap).detach())
+            fake_D = lam * L1(fake_score, torch.zeros_like(fake_score))
+            real_score, _ = tD(vel(ty))
+            real_D = L1(real_score, torch.ones_like(real_score))
+            loss = real_D + fake_D + sum(internal)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(tD.parameters(), 1)
+            d_optim.step()
+        else:  # G branch (gan.py:134-152)
+            g_optim.zero_grad()
+            y_cap, internal = tG([ta, tl], ty, **kwargs)
+            score, _ = tD(vel(y_cap))
+            loss = (L1(y_cap, ty) + lam * L1(score, torch.ones_like(score))
+                    + sum(internal))
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(tG.parameters(), 1)
+            g_optim.step()
+        losses.append(float(loss))
+    return losses
 
-    # ---- jax loop -----------------------------------------------------------
-    jax_losses = []
-    for step in range(steps):
-        state, losses, _ = jsteps["g"](state, batch, jax.random.key(step),
-                                       use_pose_input=False)
-        jax_losses.append(float(losses["total"]))
 
+def run_jax(factory, state, batch, coins):
+    """This framework's actual jitted g/d steps over the same coin sequence."""
+    import jax
+
+    jsteps = factory.make_steps()
+    losses = []
+    for step, coin_d in enumerate(coins):
+        fn = jsteps["d"] if coin_d else jsteps["g"]
+        state, out, _ = fn(state, batch, jax.random.key(step),
+                           use_pose_input=False)
+        losses.append(float(out["total"]))
+    return losses
+
+
+def compare(name, torch_losses, jax_losses, coins):
     diffs = np.abs(np.array(torch_losses) - np.array(jax_losses))
     rel = diffs / np.abs(np.array(torch_losses))
-    out = {"steps": steps, "torch": torch_losses, "jax": jax_losses,
-           "max_abs_diff": float(diffs.max()),
-           "max_rel_diff": float(rel.max())}
+    print(f"[{name}] step-wise |Δloss| max={diffs.max():.5f} "
+          f"(rel {rel.max() * 100:.3f}%)")
+    for i in range(0, len(coins), max(len(coins) // 10, 1)):
+        print(f"  step {i:3d} [{'D' if coins[i] else 'G'}]: "
+              f"torch {torch_losses[i]:.5f}  jax {jax_losses[i]:.5f}")
+    return {"steps": len(coins), "coins": [int(c) for c in coins],
+            "torch": torch_losses, "jax": jax_losses,
+            "max_abs_diff": float(diffs.max()),
+            "max_rel_diff": float(rel.max())}
+
+
+def main(steps: int = 20):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    out = {}
+    # g_only: every step is a G step
+    factory, state, batch, tG, tD, audio, y, labels, style_ids = setup()
+    coins = [False] * steps
+    out["g_only"] = compare(
+        "g_only",
+        run_torch(tG, tD, audio, y, labels, style_ids, coins),
+        run_jax(factory, state, batch, coins), coins)
+
+    # gan_mix: a D step every 3rd iteration (fixed, replica-consistent coin
+    # pattern — the production path flips the same host coin on both sides)
+    factory, state, batch, tG, tD, audio, y, labels, style_ids = setup()
+    coins = [(i % 3) == 2 for i in range(steps)]
+    out["gan_mix"] = compare(
+        "gan_mix",
+        run_torch(tG, tD, audio, y, labels, style_ids, coins),
+        run_jax(factory, state, batch, coins), coins)
+
     json.dump(out, open(Path(__file__).parent / "dynamics_parity.json", "w"),
               indent=2)
-    print(f"step-wise |Δloss| max={diffs.max():.5f} "
-          f"(rel {rel.max() * 100:.3f}%)")
-    for i in range(0, steps, max(steps // 10, 1)):
-        print(f"  step {i:3d}: torch {torch_losses[i]:.5f}  "
-              f"jax {jax_losses[i]:.5f}")
     return out
 
 

@@ -1,0 +1,159 @@
+"""Probe the params-carry relayout cost (BASELINE.md bisect: ~1.1 ms/step).
+
+When weights are loop constants XLA hoists their layout conversions out of
+the scan; when they are carried (training), it re-lays them out every
+iteration.  These variants test whether alternative *storage* forms let XLA
+pick a fixed-point carry layout that kills the per-iteration transposes:
+
+  V0  baseline: params carried as-is, plain SGD (bisect variant A2)
+  V1  conv kernels stored transposed (O, I, k) in the carry, logically
+      transposed back to flax's (k, I, O) inside the body
+  V2  params carried as ONE flat f32 vector, unraveled inside the body
+      (trivial carry layout; update is a single fused elementwise op)
+  V3  V2 + hand-fused Adam on the flat vector (optimizer cost probe vs the
+      ~0.8 ms optax adam+clip in bisect variant B)
+
+Usage: python benchmarks/layout_probe.py [bf16]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, Path(__file__).resolve().parent.parent.as_posix())
+
+from bench import build, log  # noqa: E402
+from benchmarks.profile_train import scan_piece, time_scanned  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from __graft_entry__ import _example_batch
+    from mixstage_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from mixstage_tpu.train import losses as L
+
+    dtype = jnp.bfloat16 if "bf16" in sys.argv[1:] else jnp.float32
+    B = 32
+    factory = build(dtype, donate=False)
+    cfg = factory.cfg
+    mesh = make_mesh()
+    batch = _example_batch(B=B)
+    if dtype == jnp.bfloat16:
+        batch = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(np.asarray(x).dtype, np.floating) else x, batch)
+    state = factory.init(jax.random.key(0), batch)
+    state = replicate_state(state, mesh)
+    batch = shard_batch(batch, mesh)
+
+    def loss_of(g_params, rng):
+        pose, internal, _, _ = factory._forward(
+            g_params, state.g_state, batch, False, True, False, rng)
+        fake_v = factory._d_input(pose, batch["x"])
+        d_score, _ = factory._apply_disc(state.d_params, state.d_state,
+                                         fake_v, True)
+        G_gan = factory.criterion(d_score, jnp.ones_like(d_score)).mean()
+        pose_loss = factory.criterion(pose, batch["y"]).mean()
+        return pose_loss + G_gan + sum(internal.values())
+
+    rng0 = jax.random.key(1)
+    results = {}
+
+    # ---- V0: baseline params-carried SGD -----------------------------------
+    def v0_body(carry):
+        g_params, s = carry
+        grads = jax.grad(loss_of)(g_params, rng0)
+        g_params = jax.tree.map(lambda p, g: p - 1e-4 * g.astype(p.dtype),
+                                g_params, grads)
+        return (g_params, s + 1)
+
+    results["V0_baseline"] = time_scanned(
+        scan_piece(v0_body, None), (state.g_params, jnp.zeros((), jnp.float32)),
+        lambda c: c[1])
+    log(f"V0 baseline (params carried, SGD): "
+        f"{results['V0_baseline'] * 1e3:.3f} ms/iter")
+
+    # ---- V1: kernels stored transposed --------------------------------------
+    def store_t(tree):
+        def t(p):
+            if p.ndim == 3:   # (k, I, O) -> (O, I, k)
+                return jnp.transpose(p, (2, 1, 0))
+            if p.ndim == 4:   # (kh, kw, I, O) -> (O, I, kh, kw)
+                return jnp.transpose(p, (3, 2, 0, 1))
+            return p
+        return jax.tree.map(t, tree)
+
+    def load_t(tree):
+        def t(p):
+            if p.ndim == 3:
+                return jnp.transpose(p, (2, 1, 0))
+            if p.ndim == 4:
+                return jnp.transpose(p, (2, 3, 1, 0))
+            return p
+        return jax.tree.map(t, tree)
+
+    def v1_body(carry):
+        g_params_t, s = carry
+        grads_t = jax.grad(lambda pt, r: loss_of(load_t(pt), r))(g_params_t,
+                                                                 rng0)
+        g_params_t = jax.tree.map(lambda p, g: p - 1e-4 * g.astype(p.dtype),
+                                  g_params_t, grads_t)
+        return (g_params_t, s + 1)
+
+    results["V1_transposed"] = time_scanned(
+        scan_piece(v1_body, None),
+        (store_t(state.g_params), jnp.zeros((), jnp.float32)), lambda c: c[1])
+    log(f"V1 kernels stored (O,I,k): {results['V1_transposed'] * 1e3:.3f} ms/iter")
+
+    # ---- V2: flat-vector carry ----------------------------------------------
+    flat0, unravel = ravel_pytree(state.g_params)
+    log(f"flat param vector: {flat0.size / 1e6:.2f}M elements")
+
+    def v2_body(carry):
+        flat, s = carry
+        grads = jax.grad(lambda f, r: loss_of(unravel(f), r))(flat, rng0)
+        flat = flat - 1e-4 * grads
+        return (flat, s + 1)
+
+    results["V2_flat"] = time_scanned(
+        scan_piece(v2_body, None), (flat0, jnp.zeros((), jnp.float32)),
+        lambda c: c[1])
+    log(f"V2 flat-vector carry: {results['V2_flat'] * 1e3:.3f} ms/iter")
+
+    # ---- V3: flat carry + fused Adam ----------------------------------------
+    def v3_body(carry):
+        flat, mu, nu, s = carry
+        grads = jax.grad(lambda f, r: loss_of(unravel(f), r))(flat, rng0)
+        # clip by global norm 1 (reference trainer.py:1138-1146)
+        gn = jnp.sqrt((grads * grads).sum())
+        grads = grads * jnp.minimum(1.0, 1.0 / (gn + 1e-12))
+        b1, b2, eps, lr = 0.9, 0.999, 1e-8, 1e-4
+        t = s + 1
+        mu = b1 * mu + (1 - b1) * grads
+        nu = b2 * nu + (1 - b2) * grads * grads
+        mu_hat = mu / (1 - b1 ** t)
+        nu_hat = nu / (1 - b2 ** t)
+        flat = flat - lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        return (flat, mu, nu, t)
+
+    results["V3_flat_adam"] = time_scanned(
+        scan_piece(v3_body, None),
+        (flat0, jnp.zeros_like(flat0), jnp.zeros_like(flat0),
+         jnp.zeros((), jnp.float32)),
+        lambda c: c[3])
+    log(f"V3 flat + fused adam+clip: {results['V3_flat_adam'] * 1e3:.3f} ms/iter")
+
+    log("layout probe (ms/iter): " + " | ".join(
+        f"{k} {v * 1e3:.2f}" for k, v in results.items())
+        + f" (dtype={jnp.dtype(dtype).name})")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -161,11 +161,81 @@ class BookKeeper:
     def _save_model(self, state):
         if not self.args.save_model:
             return
+        if getattr(self.args, "ckpt_backend", "msgpack") == "orbax":
+            self._save_orbax(state)
+            return
         self._best_bytes = self._serialize(state)
         with open(self.name(*self.weights_ext, self.save_dir), "wb") as f:
             f.write(self._best_bytes)
         if getattr(self.args, "save_optim", 0):
             self._save_train_state(state)
+
+    # -- orbax backend (-ckpt_backend orbax): one atomic checkpoint directory
+    # PREFIX_weights.orbax holding weights AND optimizer state/counters —
+    # TPU-native alternative to the reference's single msgpack blob; supports
+    # sharded arrays and survives partial writes (atomic rename on commit) ---
+    def _orbax_path(self) -> str:
+        # tensorstore's OCDBT kvstore silently fails to commit when the
+        # directory name contains [ ] ' " or spaces (the PREFIX embeds the
+        # speaker list, e.g. speaker_['oliver']) — sanitize those chars
+        path = self.name("weights", "orbax", self.save_dir)
+        head, tail = os.path.split(path)
+        for ch in "[]'\" ,":
+            tail = tail.replace(ch, "-")
+        return os.path.abspath(os.path.join(head, tail))
+
+    @staticmethod
+    def _state_to_full_ckpt(state) -> Dict[str, Any]:
+        import jax
+
+        tree = {"model": {k: (v if v is not None else {})
+                          for k, v in BookKeeper._state_to_ckpt(state).items()},
+                "train": {"g_opt_state": state.g_opt_state,
+                          "d_opt_state": (state.d_opt_state
+                                          if state.d_opt_state is not None
+                                          else {}),
+                          "counters": {"step": state.step,
+                                       "g_step": state.g_step,
+                                       "lambda_step": state.lambda_step,
+                                       "curriculum_step": state.curriculum_step}}}
+        # fetch to host np so the snapshot is device-independent
+        return jax.tree.map(np.asarray, tree)
+
+    def _save_orbax(self, state):
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        self._best_bytes = self._serialize(state)  # keep the in-memory best
+        path = self._orbax_path()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, self._state_to_full_ckpt(state))
+
+    def _load_orbax(self, state, path: str):
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        template = self._state_to_full_ckpt(state)
+        with ocp.StandardCheckpointer() as ckptr:
+            full = ckptr.restore(path, target=template)
+        m = full["model"]
+        state = state.replace(
+            g_params=m["g_params"], g_state=m["g_state"],
+            d_params=(m["d_params"] if state.d_params is not None else None),
+            d_state=(m["d_state"] if state.d_state is not None else None))
+        if getattr(self.args, "save_optim", 0):
+            t, c = full["train"], full["train"]["counters"]
+            as_i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+            state = state.replace(
+                g_opt_state=t["g_opt_state"],
+                d_opt_state=(t["d_opt_state"]
+                             if state.d_opt_state is not None else None),
+                step=as_i32(c["step"]), g_step=as_i32(c["g_step"]),
+                lambda_step=as_i32(c["lambda_step"]),
+                curriculum_step=as_i32(c["curriculum_step"]))
+        return state
 
     # -- full-state checkpoints (improvement over the reference, which only
     # saves weights — SURVEY.md §5) --------------------------------------
@@ -205,10 +275,17 @@ class BookKeeper:
 
     def _load_model(self, state):
         """Return ``state`` with weights restored from ``args.load`` (or the
-        experiment's own weights file)."""
+        experiment's own weights file).  Orbax checkpoint directories
+        (``*_weights.orbax``) are auto-detected."""
         from flax import serialization
 
         path = self.args.load or self.name(*self.weights_ext, self.save_dir)
+        if path.endswith(".orbax") or os.path.isdir(path):
+            return self._load_orbax(state, os.path.abspath(path))
+        if (not os.path.exists(path)
+                and getattr(self.args, "ckpt_backend", "msgpack") == "orbax"
+                and os.path.isdir(self._orbax_path())):
+            return self._load_orbax(state, self._orbax_path())
         with open(path, "rb") as f:
             ckpt = serialization.msgpack_restore(f.read())
         restored = {}

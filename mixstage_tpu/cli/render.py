@@ -41,7 +41,14 @@ def render(args: Config, exp_num: int):
 
     for kp_dir in sorted(exp_dir.glob("keypoints*")):
         subname = kp_dir.name.replace("keypoints", "").lstrip("_") or None
-        for h5file in sorted(kp_dir.rglob("*.h5")):
+        files = sorted(kp_dir.rglob("*.h5"))
+        if args.render and len(files) > args.render:
+            # -render N = render only N randomly-chosen intervals, same
+            # choice every run (reference render.py:80-84, np.random.seed(0))
+            np.random.seed(0)
+            idxs = np.random.permutation(np.arange(len(files)))[:args.render]
+            files = [files[i] for i in idxs]
+        for h5file in files:
             interval_id = h5file.stem
             if render_list and interval_id not in render_list:
                 continue
@@ -49,6 +56,8 @@ def render(args: Config, exp_num: int):
             y_pred = HDF5.load_array(h5file.as_posix(), output_modality)
             if y_pred.ndim == 2:
                 y_pred = y_pred.reshape(-1, 2, feats_shape)
+            y_pred = y_pred.copy()
+            y_pred[..., 0] = 0  # pin the root joint like GT (render.py:93-98)
             try:
                 y_gt = HDF5.load_array(data.getPath2file(interval_id),
                                        output_modality)
@@ -58,6 +67,15 @@ def render(args: Config, exp_num: int):
                 ys = [y_pred, y_gt]
             except Exception:
                 ys = y_pred
+            # -render_text: caption the video from the ground-truth file's
+            # text/meta word spans (reference render.py:101-107)
+            text = None
+            if args.render_text:
+                from mixstage_tpu.data.text import read_text_meta
+                try:
+                    text = read_text_meta(data.getPath2file(interval_id))
+                except Exception:
+                    text = None
             out = Path(exp_dir)
             target = (out / (f"render_{subname}" if subname else "render")
                       / desc / data.getSpeaker(interval_id)
@@ -65,7 +83,12 @@ def render(args: Config, exp_num: int):
             if target.exists() and not args.clean_render:
                 continue
             animate(ys, interval_id, parents, out.as_posix(), desc, data,
-                    None, None, None, subname)
+                    None, None, None, subname, text=text)
+            # prediction-only pass, rendered under render_eval*
+            # (reference render.py:123-126)
+            animate([y_pred], interval_id, parents, out.as_posix(), desc,
+                    data, None, None, None,
+                    f"eval_{subname}" if subname else "eval", text=text)
     page = make_html_file(exp_dir.as_posix())
     print(f"HTML grid: {page}")
 

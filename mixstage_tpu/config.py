@@ -46,7 +46,12 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("pos", int, 0, "use POS tags as cluster labels"),
     ("feats", _E, ["pose", "velocity"], "features used for clustering"),
     ("style_dim", int, 10, "style embedding dimension"),
-    ("style_losses", _E, None, "style loss weights dict (disentangle models)"),
+    # default mirrors reference argsUtils.py:45 (weights of the Disentangle
+    # generator's internal losses)
+    ("style_losses", _E, {"id_a": 1, "id_p": 1, "cluster_a": 1, "cluster_p": 1,
+                          "style_a": 1, "style_p": 1, "content_+": 1,
+                          "content_-": 1, "rec_a": 1, "rec_p": 1},
+     "style loss weights dict (disentangle models)"),
     ("style_iters", int, 0, "iterations for style-balanced sampling (AlternateClassSampler)"),
     ("load_data", int, 1, "0 skips full data load (pretrained models)"),
     ("repeat_text", int, 1, "repeat word vectors to pose fs"),
@@ -143,6 +148,8 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("profile_dir", str, None, "jax.profiler trace directory"),
     ("fused_kernels", int, 1, "use Pallas fused kernels on TPU where available"),
     ("save_optim", int, 0, "also checkpoint optimizer state + counters (exact resume)"),
+    ("ckpt_backend", str, "msgpack", "'msgpack' (reference PREFIX_weights.p contract) or "
+     "'orbax' (atomic PREFIX_weights.orbax dir incl. optimizer state)"),
     ("scan_steps", int, 0, "fuse k train steps into one dispatch via lax.scan (0 = per-step)"),
 ]
 

@@ -29,15 +29,38 @@ MODEL_REGISTRY: Dict[str, Type[nn.Module]] = {
 
 
 # Extended loss vocabulary of the Disentangle trainer composition (reference
-# trainer.py:1437-1446).  The upstream repo defines the trainer but ships NO
-# Disentangle generator that would emit these internal losses, so requesting
-# the composition must fail loudly instead of silently training the
-# non-disentangle model (round-1 VERDICT item 8).  Any future registered
-# model whose name contains 'Disentangle' is expected to return these as its
-# named internal losses.
+# trainer.py:1437-1446).  Display order of the trainer's running-loss slots:
+# slots 0-1 are the G-branch losses (pose, G_gan), slots 2-3 the D-branch
+# losses (real_D, fake_D), slots 4+ the generator's partial internal losses
+# in emission order (reference calculate_loss, trainer.py:1461-1474: i<2 →
+# slot i or i+2 by G_flag; i>=2 → slot i+2).
 DISENTANGLE_LOSS_KINDS = ["pose", "G_gan", "real_D", "fake_D", "con_+",
                           "con_-", "id_a", "id_p", "c_a", "c_p", "st_a",
                           "st_p", "rec_a", "rec_p", "H"]
+
+# Canonical names of the internal losses a Disentangle generator emits in its
+# ``internal_losses`` output dict, in reference slot order.  These are the
+# keys of the ``-style_losses`` weight dict (reference argsUtils.py:45) plus
+# the unweighted entropy term 'H'; they map 1:1 onto the abbreviated display
+# slots DISENTANGLE_LOSS_KINDS[4:] above (con_+ ↔ content_+, c_a ↔ cluster_a,
+# st_a ↔ style_a, …).
+DISENTANGLE_INTERNAL_LOSSES = ["content_+", "content_-", "id_a", "id_p",
+                               "cluster_a", "cluster_p", "style_a", "style_p",
+                               "rec_a", "rec_p", "H"]
+
+
+def register_model(name: str, cls: Type[nn.Module]) -> None:
+    """Register an extension model (e.g. a Disentangle generator).
+
+    The reference selects models with ``eval(args.model)`` (trainer.py:971),
+    so any importable class is selectable upstream; this is the explicit
+    equivalent.  A model whose name contains 'Disentangle' must follow the
+    ``JointLateClusterSoftStyle4_G`` call signature and additionally return
+    ``internal_losses``: a dict of scalar losses named after
+    ``DISENTANGLE_INTERNAL_LOSSES`` (already weighted by the model's
+    ``style_losses`` kwarg, which the trainer forwards from the
+    ``-style_losses`` flag exactly like reference trainer.py:1434)."""
+    MODEL_REGISTRY[name] = cls
 
 
 def get_model_def(name: str) -> Type[nn.Module]:
@@ -48,8 +71,10 @@ def get_model_def(name: str) -> Type[nn.Module]:
                 "upstream-incomplete — the reference defines "
                 "TrainerLateClusterStyleDisentangleGAN with the extended "
                 "loss list (reference trainer.py:1419-1474) but ships no "
-                "Disentangle generator model.  Register a model emitting "
-                f"the internal losses {DISENTANGLE_LOSS_KINDS[4:]} to use it.")
+                "Disentangle generator model (eval(args.model) would "
+                "NameError upstream too).  The trainer-side plumbing is "
+                "implemented: register_model() a generator emitting the "
+                f"internal losses {DISENTANGLE_INTERNAL_LOSSES} to use it.")
         raise KeyError(
             f"model {name!r} not in registry; known: {sorted(MODEL_REGISTRY)}")
     return MODEL_REGISTRY[name]

@@ -34,10 +34,19 @@ CRITERIA: Dict[str, Callable] = {
 }
 
 
-def get_criterion(name: str) -> Callable:
+def get_criterion(name: str, **kwargs) -> Callable:
+    """Criterion lookup with torch-style construction kwargs (the reference's
+    ``-lossKwargs``, trainer.py:219, e.g. ``{'beta': 0.5}`` for SmoothL1Loss).
+    ``reduction`` is dropped: reduction is structural in the step functions
+    (per-sample weighting then mean, gan.py:64-67)."""
     if name not in CRITERIA:
         raise KeyError(f"loss {name!r} not in registry; known: {sorted(CRITERIA)}")
-    return CRITERIA[name]
+    kwargs.pop("reduction", None)
+    fn = CRITERIA[name]
+    if kwargs:
+        from functools import partial
+        return partial(fn, **kwargs)
+    return fn
 
 
 def sample_wise_weight_mean(loss, w):

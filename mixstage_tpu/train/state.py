@@ -43,6 +43,17 @@ OPTIMIZERS = {
 }
 
 
+def translate_optim_kwargs(kwargs: dict) -> dict:
+    """torch optimizer kwargs (the reference's ``-optimKwargs``,
+    trainer.py:278-283) → optax names: betas=(b1,b2) → b1/b2; momentum and
+    eps/weight_decay pass through."""
+    out = dict(kwargs)
+    if "betas" in out:
+        b1, b2 = out.pop("betas")
+        out.update(b1=b1, b2=b2)
+    return out
+
+
 def make_optimizer(name: str, lr: float, grad_clip: Optional[float] = None,
                    schedule=None, text_lr: Optional[float] = None, **kwargs
                    ) -> optax.GradientTransformation:

@@ -57,7 +57,11 @@ class StepConfig:
     argmax: bool = False
     some_grad_flag: bool = False
     curriculum_iters: int = 1000
+    # Disentangle composition: internal-loss weight dict (items), forwarded
+    # to the generator like reference update_modelKwargs (trainer.py:1434)
+    style_losses: Tuple = ()
     # gan knobs (gan.py:18-45)
+    discriminator: Optional[str] = None  # None infers <model prefix>_D
     dg_iter_ratio: float = 1.0
     lambda_gan: float = 1.0
     lambda_D: float = 1.0
@@ -66,6 +70,10 @@ class StepConfig:
     weighted: bool = False
     # training
     lr: float = 1e-4
+    # torch-style criterion / optimizer construction kwargs, as items
+    # (reference -lossKwargs / -optimKwargs, trainer.py:219,278-283)
+    loss_kwargs: Tuple = ()
+    optim_kwargs: Tuple = ()
     optim: str = "Adam"
     noise: float = 0.0
     optim_separate: Optional[float] = None
@@ -120,6 +128,8 @@ class StepFactory:
         common = dict(p=cfg.p_dropout, dtype=cfg.dtype, param_dtype=param_dtype)
         gen_cls = get_model_def(cfg.model)
         mk = dict(cfg.model_kwargs)
+        if "Disentangle" in cfg.model:
+            mk.setdefault("style_losses", dict(cfg.style_losses))
         if cfg.has_style:
             self.gen = gen_cls(time_steps=cfg.time_steps, out_feats=cfg.out_feats,
                                num_clusters=cfg.num_clusters or 1,
@@ -139,7 +149,18 @@ class StepFactory:
             self.psenc = None
         if cfg.gan:
             from mixstage_tpu.models.registry import infer_discriminator_name
-            d_cls = get_model_def(infer_discriminator_name(cfg.model))
+            # explicit -discriminator flag wins; otherwise infer
+            # <model prefix>_D and fall back to Speech2Gesture_D when that
+            # name is undefined (reference trainer.py:1052-1055,1075-1078)
+            d_name = cfg.discriminator or infer_discriminator_name(cfg.model)
+            try:
+                d_cls = get_model_def(d_name)
+            except (KeyError, NotImplementedError):
+                # the reference uses a bare except here, so even an undefined
+                # Disentangle _D name falls back rather than failing
+                print(f"{d_name} not defined, hence defaulting to "
+                      "Speech2Gesture_D")
+                d_cls = get_model_def("Speech2Gesture_D")
             d_in = cfg.out_feats
             if cfg.joint:
                 # D also sees the inputs (trainer.py:1066-1071)
@@ -150,10 +171,12 @@ class StepFactory:
                               out_shape=2 if cfg.weighted else 1, **common)
         else:
             self.disc = None
-        self.criterion = L.get_criterion(cfg.criterion)
-        opt_kw = ({"mu_dtype": cfg.optim_mu_dtype}
-                  if cfg.optim_mu_dtype and cfg.optim in ("Adam", "AdamW")
-                  else {})
+        self.criterion = L.get_criterion(cfg.criterion,
+                                         **dict(cfg.loss_kwargs))
+        from mixstage_tpu.train.state import translate_optim_kwargs
+        opt_kw = translate_optim_kwargs(dict(cfg.optim_kwargs))
+        if cfg.optim_mu_dtype and cfg.optim in ("Adam", "AdamW"):
+            opt_kw["mu_dtype"] = cfg.optim_mu_dtype
         self.g_tx = make_optimizer(cfg.optim, cfg.lr, grad_clip=1.0,
                                    schedule=g_schedule,
                                    text_lr=cfg.optim_separate, **opt_kw)
@@ -351,6 +374,12 @@ class StepFactory:
         losses = {"label": label_loss,
                   "id_in": id_in * cfg.lambda_id,
                   "id_out": id_out * cfg.lambda_id}
+        # Disentangle composition: the generator emits its own named internal
+        # losses (already style_losses-weighted); they join the total in both
+        # the G branch and (stop-gradient'd) the D branch, exactly like the
+        # reference's partial_i_loss (gan.py:129-131,149-151, summed by
+        # calculate_loss trainer.py:1461-1474)
+        losses.update(out.get("internal_losses", {}))
         aux = {"labels_cap_soft": out.get("labels_cap_soft")}
         return pose, losses, new_state, aux
 
@@ -593,6 +622,10 @@ class StepFactory:
             keys = {"pose", "G_gan", "real_D", "fake_D", "total"}
             if cfg.has_style:
                 keys |= {"label", "id_in", "id_out"}
+            if "Disentangle" in cfg.model:
+                from mixstage_tpu.models.registry import \
+                    DISENTANGLE_INTERNAL_LOSSES
+                keys |= set(DISENTANGLE_INTERNAL_LOSSES)
             if cfg.gan and cfg.weighted:
                 keys |= {"W"}  # (B,) sample weights for host feedback
             return sorted(keys)

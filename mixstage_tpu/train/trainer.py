@@ -158,10 +158,14 @@ class Trainer:
             softmax=bool(mk.pop("softmax", 1)),
             argmax=bool(mk.pop("argmax", 0)),
             some_grad_flag=bool(mk.pop("some_grad_flag", False)),
+            style_losses=tuple(sorted((args.style_losses or {}).items())),
+            discriminator=args.discriminator,
             dg_iter_ratio=args.dg_iter_ratio, lambda_gan=args.lambda_gan,
             lambda_D=args.lambda_D, joint=bool(args.joint),
             no_grad=bool(args.no_grad), weighted=bool(args.weighted),
             lr=args.lr, optim=args.optim, noise=args.noise,
+            loss_kwargs=tuple(sorted((args.lossKwargs or {}).items())),
+            optim_kwargs=tuple(sorted((args.optimKwargs or {}).items())),
             optim_separate=args.optim_separate,
             optim_mu_dtype=getattr(args, "optim_mu_dtype", None),
             p_dropout=float(mk.pop("p", 0.0)), dtype=self.fp,

@@ -201,3 +201,27 @@ def test_scan_loop_driver_logic_with_stub(synth, tmp_path_factory):
     n_batches = calls["scan"] * k + len(calls["per_step"])
     assert n_batches > calls["scan"] * k, "ragged tail exercised"
     assert metrics["train_steps_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_weighted_gan_sampler_feedback_e2e(synth, tmp_path_factory):
+    """-weighted 1 end-to-end: the 2-class D estimates per-sample W, the
+    trainer feeds W back into the WeightedRandom sampler per batch
+    (reference trainer.py:622-625) and renormalizes per epoch
+    (trainer.py:502-520); with -update_D_prob_flag 1 the D/G coin adapts."""
+    save_dir = str(tmp_path_factory.mktemp("save_weighted"))
+    cfg = base_cfg(synth, save_dir, model="JointLateClusterSoftStyle4_G",
+                   gan=1, loss="L1Loss", num_clusters=2, num_epochs=1,
+                   exp=41, weighted=1, update_D_prob_flag=1)
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    w0 = np.asarray(tr.data_train.sampler.weights, np.float64).copy()
+    p0 = tr._d_prob
+    tr.start_exp()
+    tr.train(exp_num=41)
+    tr.finish_exp()
+    w1 = np.asarray(tr.data_train.sampler.weights, np.float64)
+    assert w1.shape == w0.shape
+    assert not np.allclose(w0, w1), "sampler weights never updated"
+    assert np.isfinite(w1).all() and (w1 >= 0.1 - 1e-9).all()
+    # the adapted coin stays a valid clipped probability (p0 = r/(r+1))
+    assert 0.05 <= tr._d_prob <= 0.95 and np.isfinite(p0)

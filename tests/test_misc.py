@@ -219,3 +219,51 @@ def test_disentangle_composition_rejected_loudly():
         get_model_def("JointLateClusterSoftStyleDisentangle2_G")
     assert DISENTANGLE_LOSS_KINDS[:4] == ["pose", "G_gan", "real_D", "fake_D"]
     assert "H" in DISENTANGLE_LOSS_KINDS
+
+
+def test_bookkeeper_orbax_roundtrip(tmp_path):
+    """-ckpt_backend orbax: one atomic PREFIX_weights.orbax directory holding
+    weights + optimizer state + counters; auto-detected by _load_model."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mixstage_tpu.train.state import TrainState
+
+    book = _book(tmp_path, ckpt_backend="orbax", save_optim=1)
+    params = {"w": jnp.arange(4.0), "b": jnp.ones(2)}
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    # advance the optimizer once so mu/nu are non-trivial
+    upd, opt = tx.update({"w": jnp.ones(4), "b": jnp.ones(2)}, opt, params)
+    state = TrainState(g_params=params, g_state={"bn": jnp.full(2, 3.0)},
+                       g_opt_state=opt, step=jnp.asarray(5, jnp.int32),
+                       g_step=jnp.asarray(4, jnp.int32),
+                       lambda_step=jnp.asarray(3, jnp.int32),
+                       curriculum_step=jnp.asarray(2, jnp.int32))
+    book._save_model(state)
+    ckpt_dir = book._orbax_path()
+    assert os.path.isdir(ckpt_dir)
+
+    blank = TrainState(g_params={"w": jnp.zeros(4), "b": jnp.zeros(2)},
+                       g_state={"bn": jnp.zeros(2)}, g_opt_state=tx.init(
+                           {"w": jnp.zeros(4), "b": jnp.zeros(2)}))
+    restored = book._load_model(blank)
+    np.testing.assert_array_equal(np.asarray(restored.g_params["w"]),
+                                  np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(restored.g_state["bn"]),
+                                  np.full(2, 3.0))
+    # optimizer moments + counters back (save_optim=1)
+    mu = np.asarray(jax.tree_util.tree_leaves(restored.g_opt_state)[1])
+    assert np.abs(mu).sum() > 0
+    assert int(restored.step) == 5 and int(restored.curriculum_step) == 2
+
+    # explicit -load of the orbax dir path also restores
+    book2 = _book(tmp_path, ckpt_backend="orbax", save_optim=0, exp=8)
+    book2.args.load = ckpt_dir
+    restored2 = book2._load_model(blank)
+    np.testing.assert_array_equal(np.asarray(restored2.g_params["w"]),
+                                  np.arange(4.0))
+    # save_optim=0: weights only, counters untouched (reference semantics —
+    # upstream checkpoints never include optimizer state)
+    assert int(restored2.step) == 0

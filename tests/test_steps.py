@@ -267,3 +267,45 @@ def test_optim_mu_dtype_bf16():
                                                 jax.random.key(1))
     assert jax.tree_util.tree_leaves(state2.g_params)[0].dtype == jnp.float32
     assert np.isfinite(float(losses["total"]))
+
+
+def test_loss_and_optim_kwargs_wired():
+    """-lossKwargs reaches the criterion (reference trainer.py:219) and
+    -optimKwargs reaches the optimizer with torch→optax name translation
+    (trainer.py:278-283)."""
+    cfg = StepConfig(model="Speech2Gesture_G", gan=False,
+                     criterion="SmoothL1Loss",
+                     loss_kwargs=(("beta", 0.5),),
+                     optim_kwargs=(("betas", (0.5, 0.9)), ("eps", 1e-6)))
+    f = StepFactory(cfg, donate=False)
+    # SmoothL1 with beta=0.5 at |d|=0.2 < beta: 0.5·d²/beta
+    val = float(f.criterion(jnp.asarray([0.2]), jnp.asarray([0.0]))[0])
+    assert np.isclose(val, 0.5 * 0.2 ** 2 / 0.5, rtol=1e-6)
+    # optimizer constructed with translated kwargs; a step must run
+    batch = make_batch(cfg)
+    state = f.init(jax.random.key(0), batch)
+    _, losses, _ = f.make_steps()["train"](state, batch, jax.random.key(1))
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_weighted_gan_steps():
+    """-weighted 1: the 2-class discriminator yields per-sample importance
+    weights W (clipped to [0.1, 10]) that reach the losses dict in BOTH
+    branches and weight the G losses by 1/W (reference GANWeighted intent,
+    trainer.py:1059-1062; gan.py:145-147)."""
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=4, num_speakers=2,
+                     weighted=True)
+    f = StepFactory(cfg, donate=False)
+    # 2-class D head (trainer.py:1061)
+    assert f.disc.out_shape == 2
+    batch = make_batch(cfg)
+    state = f.init(jax.random.key(0), batch)
+    steps = f.make_steps()
+    for branch in ("g", "d"):
+        _, losses, _ = steps[branch](state, batch, jax.random.key(1),
+                                     use_pose_input=False)
+        W = np.asarray(losses["W"])
+        assert W.shape == (B,)
+        assert (W >= 0.1 - 1e-6).all() and (W <= 10.0 + 1e-6).all()
+        assert np.isfinite(float(losses["total"]))
