@@ -64,6 +64,10 @@ def main():
 
     rng0 = jax.random.key(1)
     results = {}
+    only = [a for a in sys.argv[1:] if a.startswith("v")]
+
+    def want(tag):
+        return not only or tag in only
 
     # ---- V0: baseline params-carried SGD -----------------------------------
     def v0_body(carry):
@@ -106,10 +110,11 @@ def main():
                                   g_params_t, grads_t)
         return (g_params_t, s + 1)
 
-    results["V1_transposed"] = time_scanned(
-        scan_piece(v1_body, None),
-        (store_t(state.g_params), jnp.zeros((), jnp.float32)), lambda c: c[1])
-    log(f"V1 kernels stored (O,I,k): {results['V1_transposed'] * 1e3:.3f} ms/iter")
+    if want("v1"):
+        results["V1_transposed"] = time_scanned(
+            scan_piece(v1_body, None),
+            (store_t(state.g_params), jnp.zeros((), jnp.float32)), lambda c: c[1])
+        log(f"V1 kernels stored (O,I,k): {results['V1_transposed'] * 1e3:.3f} ms/iter")
 
     # ---- V2: flat-vector carry ----------------------------------------------
     flat0, unravel = ravel_pytree(state.g_params)
@@ -121,10 +126,11 @@ def main():
         flat = flat - 1e-4 * grads
         return (flat, s + 1)
 
-    results["V2_flat"] = time_scanned(
-        scan_piece(v2_body, None), (flat0, jnp.zeros((), jnp.float32)),
-        lambda c: c[1])
-    log(f"V2 flat-vector carry: {results['V2_flat'] * 1e3:.3f} ms/iter")
+    if want("v2"):
+        results["V2_flat"] = time_scanned(
+            scan_piece(v2_body, None), (flat0, jnp.zeros((), jnp.float32)),
+            lambda c: c[1])
+        log(f"V2 flat-vector carry: {results['V2_flat'] * 1e3:.3f} ms/iter")
 
     # ---- V3: flat carry + fused Adam ----------------------------------------
     def v3_body(carry):
@@ -142,12 +148,89 @@ def main():
         flat = flat - lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
         return (flat, mu, nu, t)
 
-    results["V3_flat_adam"] = time_scanned(
-        scan_piece(v3_body, None),
-        (flat0, jnp.zeros_like(flat0), jnp.zeros_like(flat0),
-         jnp.zeros((), jnp.float32)),
-        lambda c: c[3])
-    log(f"V3 flat + fused adam+clip: {results['V3_flat_adam'] * 1e3:.3f} ms/iter")
+    if want("v3"):
+        results["V3_flat_adam"] = time_scanned(
+            scan_piece(v3_body, None),
+            (flat0, jnp.zeros_like(flat0), jnp.zeros_like(flat0),
+             jnp.zeros((), jnp.float32)),
+            lambda c: c[3])
+        log(f"V3 flat + fused adam+clip: {results['V3_flat_adam'] * 1e3:.3f} ms/iter")
+
+    # ---- V4: tree carry + hand-fused adam+clip ------------------------------
+    def v4_body(carry):
+        params, mu, nu, s = carry
+        grads = jax.grad(loss_of)(params, rng0)
+        gn = jnp.sqrt(sum((g.astype(jnp.float32) ** 2).sum()
+                          for g in jax.tree_util.tree_leaves(grads)))
+        scale = jnp.minimum(1.0, 1.0 / (gn + 1e-12))
+        b1, b2, eps, lr = 0.9, 0.999, 1e-8, 1e-4
+        t = s + 1
+        c1 = 1 - b1 ** t
+        c2 = 1 - b2 ** t
+
+        def upd(p, g, m, v):
+            g = g * scale
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            return (p - lr * (m / c1) / (jnp.sqrt(v / c2) + eps), m, v)
+
+        out = jax.tree.map(upd, params, grads, mu, nu)
+        params = jax.tree.map(lambda o: o[0], out,
+                              is_leaf=lambda x: isinstance(x, tuple))
+        mu = jax.tree.map(lambda o: o[1], out,
+                          is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree.map(lambda o: o[2], out,
+                          is_leaf=lambda x: isinstance(x, tuple))
+        return (params, mu, nu, t)
+
+    if want("v4"):
+        zeros = jax.tree.map(jnp.zeros_like, state.g_params)
+        results["V4_tree_fused_adam"] = time_scanned(
+            scan_piece(v4_body, None),
+            (state.g_params, zeros, zeros, jnp.zeros((), jnp.float32)),
+            lambda c: c[3])
+        log(f"V4 tree carry + fused adam+clip: "
+            f"{results['V4_tree_fused_adam'] * 1e3:.3f} ms/iter")
+
+    # ---- V5: tree carry + optax adam+clip (the production optimizer) --------
+    import optax
+
+    def v5_body(carry):
+        params, opt, s = carry
+        grads = jax.grad(loss_of)(params, rng0)
+        updates, opt = factory.g_tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt, s + 1)
+
+    if want("v5"):
+        results["V5_tree_optax_adam"] = time_scanned(
+            scan_piece(v5_body, None),
+            (state.g_params, factory.g_tx.init(state.g_params),
+             jnp.zeros((), jnp.float32)),
+            lambda c: c[2])
+        log(f"V5 tree carry + optax adam+clip: "
+            f"{results['V5_tree_optax_adam'] * 1e3:.3f} ms/iter")
+
+    # ---- V6 (bf16 only): params STORED bf16 in the carry --------------------
+    # production bf16 mode keeps f32 params and casts per use; storing bf16
+    # halves the bytes the per-iteration carry relayout touches.  SGD in f32
+    # on a cast (master-weights stand-in) so update semantics match.
+    if dtype == jnp.bfloat16 and want("v6"):
+        p16 = jax.tree.map(lambda p: p.astype(jnp.bfloat16), state.g_params)
+
+        def v6_body(carry):
+            params16, s = carry
+            grads = jax.grad(lambda p, r: loss_of(p, r))(params16, rng0)
+            params16 = jax.tree.map(
+                lambda p, g: (p.astype(jnp.float32)
+                              - 1e-4 * g.astype(jnp.float32)).astype(p.dtype),
+                params16, grads)
+            return (params16, s + 1)
+
+        results["V6_bf16_params"] = time_scanned(
+            scan_piece(v6_body, None), (p16, jnp.zeros((), jnp.float32)),
+            lambda c: c[1])
+        log(f"V6 params stored bf16: {results['V6_bf16_params'] * 1e3:.3f} ms/iter")
 
     log("layout probe (ms/iter): " + " | ".join(
         f"{k} {v * 1e3:.2f}" for k, v in results.items())
