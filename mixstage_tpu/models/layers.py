@@ -68,6 +68,7 @@ class ConvNormRelu(nn.Module):
     padding: Optional[Any] = None
     p: float = 0.0             # dropout probability
     groups: int = 1
+    lowering: str = "conv"     # 'conv' | 'einsum' (see __call__)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -85,9 +86,22 @@ class ConvNormRelu(nn.Module):
         pad = [(p_, p_) for p_ in pad]
 
         features = self.out_channels * self.groups
-        x = nn.Conv(features=features, kernel_size=ks, strides=st, padding=pad,
-                    feature_group_count=self.groups, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv")(x)
+        if self.lowering == "einsum":
+            # same params ('conv'/{kernel,bias}), dot_general lowering — used
+            # under expert-parallel sharding where XLA's partitioner handles
+            # feature-sharded convs pathologically (see _GroupedConv1DEinsum)
+            assert self.type == "1d" and st == (1,), \
+                "einsum lowering supports stride-1 1d convs"
+            x = _GroupedConv1DEinsum(features=features, groups=self.groups,
+                                     kernel_size=ks[0], padding=pad[0][0],
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="conv")(x)
+        else:
+            x = nn.Conv(features=features, kernel_size=ks, strides=st,
+                        padding=pad, feature_group_count=self.groups,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="conv")(x)
         x = nn.Dropout(rate=self.p, deterministic=not train)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
@@ -352,6 +366,84 @@ class ClusterClassify(nn.Module):
                     feature_group_count=self.groups, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="logits")(x)
         return x
+
+
+class _GroupedConv1DEinsum(nn.Module):
+    """Stride-1 grouped 1-D conv as unfold + per-group matmul.
+
+    Parameter-compatible with ``nn.Conv(features, kernel_size=(k,),
+    feature_group_count=G)`` — same ``kernel`` (k, Cin_pg, features) /
+    ``bias`` layout.  XLA's SPMD partitioner compiles a *feature-sharded
+    grouped convolution gradient* pathologically (~330 s for ONE conv on the
+    8-device CPU mesh vs 0.6 s replicated) and mispartitions the k=1 case
+    outright; this dot_general form partitions exactly and instantly, making
+    expert-parallel sharding of the mixture decoder practical.
+    """
+
+    features: int
+    groups: int
+    kernel_size: int = 3
+    padding: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        G, k = self.groups, self.kernel_size
+        cin_pg = x.shape[-1] // G
+        F = self.features // G
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, cin_pg, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        B, T = x.shape[0], x.shape[1]
+        xp = jnp.pad(x, ((0, 0), (self.padding, self.padding), (0, 0)))
+        taps = jnp.stack([xp[:, i:i + T, :] for i in range(k)], axis=2)
+        xg = taps.reshape(B, T, k, G, cin_pg)
+        kg = kernel.reshape(k, cin_pg, G, F)
+        y = jnp.einsum("btkgc,kcgf->btgf", xg, kg)
+        return y.reshape(B, T, G * F) + bias
+
+
+class GroupedPointwiseConv(nn.Module):
+    """1×1 grouped conv expressed as a per-group matmul (dot_general).
+
+    Math- and parameter-compatible with ``nn.Conv(features=G*F,
+    kernel_size=(1,), feature_group_count=G)`` — identical ``kernel``
+    (1, Cin_pg, G*F) / ``bias`` (G*F,) params, so checkpoints and the torch
+    weight-transfer parity tests are unaffected — but lowered to an einsum,
+    which (a) is the natural MXU form of a pointwise conv and (b) sidesteps
+    an XLA SPMD mispartitioning: a kernel_size-1 grouped convolution whose
+    kernel is sharded on the output-feature axis returns wrong values under
+    GSPMD (verified on the 8-device CPU mesh: k=1 grouped conv with
+    P(None, None, 'model') kernel is off by O(1); k≥3 is exact).  The
+    mixture-decoder output head uses this module so expert-parallel sharding
+    (parallel/mesh.py:shard_state_mixture) stays numerically exact.
+    """
+
+    features: int
+    groups: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        G, F = self.groups, self.features // self.groups
+        cin_pg = x.shape[-1] // G
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, cin_pg, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        xg = x.reshape(x.shape[:-1] + (G, cin_pg))
+        # conv kernel columns are group-major: column g*F+f multiplies the
+        # inputs of group g
+        kg = kernel[0].reshape(cin_pg, G, F)
+        y = jnp.einsum("...gc,cgf->...gf", xg, kg)
+        return y.reshape(x.shape[:-1] + (self.features,)) + bias
 
 
 class EmbLin(nn.Module):

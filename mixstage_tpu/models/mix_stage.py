@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mixstage_tpu.models.layers import (AudioEncoder, ClusterClassify,
-                                        ConvNormRelu, EmbLin, PoseEncoder,
+                                        ConvNormRelu, EmbLin,
+                                        GroupedPointwiseConv, PoseEncoder,
                                         TextEncoder1D, UNet1D)
 from mixstage_tpu.ops.mixture import index_select_outputs
 
@@ -50,6 +51,10 @@ class JointLateClusterSoftStyle4_G(nn.Module):
     style_dim: int = 10
     text_channels: Optional[int] = None  # 300 (w2v) or 768 (bert) when text is used
     p: float = 0.0
+    # 'conv' (default) or 'einsum': lowering of the grouped mixture-decoder
+    # convs.  'einsum' is parameter- and math-identical but partitions
+    # cleanly under expert-parallel sharding (layers._GroupedConv1DEinsum)
+    decoder_lowering: str = "conv"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -71,16 +76,21 @@ class JointLateClusterSoftStyle4_G(nn.Module):
         self.decoder = [
             ConvNormRelu(self.style_dim + self.in_channels, self.in_channels,
                          type="1d", leaky=True, groups=self.num_clusters,
+                         lowering=self.decoder_lowering,
                          name=f"decoder0", **common)
         ] + [
             ConvNormRelu(self.in_channels, self.in_channels, type="1d",
                          leaky=True, groups=self.num_clusters,
+                         lowering=self.decoder_lowering,
                          name=f"decoder{i + 1}", **common)
             for i in range(3)
         ]
-        self.logits = nn.Conv(self.out_feats * self.num_clusters, kernel_size=(1,),
-                              feature_group_count=self.num_clusters,
-                              dtype=self.dtype, param_dtype=self.param_dtype)
+        # grouped 1x1 output head as an explicit per-group matmul (same
+        # params as the conv form; see GroupedPointwiseConv for why)
+        self.logits = GroupedPointwiseConv(
+            features=self.out_feats * self.num_clusters,
+            groups=self.num_clusters,
+            dtype=self.dtype, param_dtype=self.param_dtype)
         self.concat_encoder = ConvNormRelu(512, 256, type="1d", leaky=True, **common)
         self.classify_cluster = ClusterClassify(
             num_clusters=self.num_clusters, groups=1,

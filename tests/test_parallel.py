@@ -77,3 +77,90 @@ def test_graft_entry_contract():
     pose = jax.jit(fn)(state, batch)
     assert pose.shape == (4, 64, 96)
     ge.dryrun_multichip(8)
+
+
+
+@pytest.mark.slow
+def test_ep_mixture_decoder_sharding_exact():
+    """Expert parallelism of the mixture decoder on a 4x2 (data x model)
+    mesh: the M grouped sub-generators sharded over the model axis must give
+    the same forward output AND parameter gradients as the replicated run.
+    GSPMD inserts the mixture-select psum and its backward collectives.
+
+    Scoped to the decoder subgraph for tight numeric assertions; the FULL
+    train step under the same 2-D sharding is exercised by
+    __graft_entry__.dryrun_multichip phase 2.  DP is the production layout
+    (SURVEY.md §2 — the model is ~16M params, data parallelism is
+    perf-optimal).  The decoder must be einsum-lowered under EP: XLA
+    mispartitions the k=1 grouped conv (wrong values) and compiles k=3
+    feature-sharded grouped-conv grads in ~330 s each; the dot_general form
+    is instant and bit-exact."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mixstage_tpu.parallel.mesh import make_mesh_2d, replicated
+
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=4, num_speakers=2)
+    factory = StepFactory(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    B, T, C = 8, 64, 256 + cfg.style_dim
+    batch_np = {
+        "x": (rng.normal(size=(B, T, 128)).astype(np.float32),),
+        "y": rng.normal(size=(B, T, 96)).astype(np.float32),
+        "labels": rng.integers(0, 4, size=(B, T)).astype(np.int32),
+        "style": np.repeat(rng.integers(0, 2, size=(B, 1)), T, 1).astype(np.int32),
+    }
+    state = factory.init(jax.random.key(0), batch_np)
+    # same params, einsum-lowered decoder (XLA partitions the conv form of a
+    # feature-sharded grouped conv pathologically: ~330 s compile per conv
+    # and wrong values at k=1; the einsum form is instant and bit-exact)
+    gen = factory.gen.clone(decoder_lowering="einsum")
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    w = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(B, T, 4)).astype(np.float32)), -1)
+    y = jnp.asarray(rng.normal(size=(B, T, 96)).astype(np.float32))
+
+    import flax.linen as nn
+
+    decoder_keys = [f"decoder{i}" for i in range(4)] + ["logits"]
+
+    def decoder_loss(dec_params, x, w):
+        variables = {
+            "params": {**state.g_params["gen"], **dec_params},
+            "batch_stats": state.g_state["gen"]}
+
+        def run(mod):
+            xr = jnp.tile(x, (1, 1, mod.num_clusters))
+            for layer in mod.decoder:
+                xr = layer(xr, train=False)
+            xr = mod.logits(xr)
+            from mixstage_tpu.ops.mixture import index_select_outputs
+            pose = index_select_outputs(xr, w, mod.num_clusters)
+            return jnp.abs(pose - y).mean()
+
+        return nn.apply(run, gen)(variables)
+
+    dec_params = {k: state.g_params["gen"][k] for k in decoder_keys}
+    grad_fn = jax.jit(jax.value_and_grad(decoder_loss))
+    l1, g1 = grad_fn(dec_params, x, w)
+
+    mesh = make_mesh_2d(4, 2)
+    repl = replicated(mesh)
+
+    def shard(tree):
+        def put(path, leaf):
+            shape = getattr(leaf, "shape", ())
+            if shape and shape[-1] % 2 == 0:
+                return jax.device_put(leaf, NamedSharding(
+                    mesh, P(*([None] * (len(shape) - 1) + ["model"]))))
+            return jax.device_put(leaf, repl)
+        return jax.tree_util.tree_map_with_path(put, tree)
+
+    l2, g2 = grad_fn(shard(dec_params),
+                     jax.device_put(x, NamedSharding(mesh, P("data"))),
+                     jax.device_put(w, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g2),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
