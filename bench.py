@@ -195,14 +195,18 @@ def main():
         f"{scan_fps:,.0f} frames/s/chip"
         + (f", MFU≈{mfu:.1%} (bf16-peak denom)" if mfu else ""))
 
-    # ---- bf16 compute variant ---------------------------------------------
+    # ---- bf16 compute variant (k=64: per-dispatch overhead ~5-7 ms spreads
+    # over 4x more steps than k=16 — measured +13%/step, benchmarks of
+    # 2026-08-17; identical SGD semantics at any k) ------------------------
     bf16_fps = None
+    k_bf16 = 64
     try:
-        log(f"compiling scan(k={k}) bf16…")
+        log(f"compiling scan(k={k_bf16}) bf16…")
         bf16_factory = build(jnp.bfloat16, donate=True)
-        bf16_sec, _, _ = bench_scan(bf16_factory, B, k)
+        bf16_sec, _, _ = bench_scan(bf16_factory, B, k_bf16,
+                                    chain=max(3, 96 // k_bf16))
         bf16_fps = B * T / bf16_sec / n_chips
-        log(f"train scan(k={k}) bf16: {bf16_sec * 1e3:.3f} ms/step, "
+        log(f"train scan(k={k_bf16}) bf16: {bf16_sec * 1e3:.3f} ms/step, "
             f"{bf16_fps:,.0f} frames/s/chip")
     except Exception as e:  # noqa: BLE001
         log(f"bf16 path failed ({e}); keeping f32 headline")
@@ -283,7 +287,7 @@ def main():
                              "(block_until_ready is a no-op via the tunnel)",
             "per_step_train_frames_per_sec_per_chip": round(per_step_fps, 1),
             "scan_k16_f32_frames_per_sec_per_chip": round(scan_fps, 1),
-            "scan_k16_bf16_frames_per_sec_per_chip":
+            "scan_k64_bf16_frames_per_sec_per_chip":
                 round(bf16_fps, 1) if bf16_fps else None,
             "g_step_gflops": round(g_flops / 1e9, 1) if g_flops else None,
             "d_step_gflops": round(d_flops / 1e9, 1) if d_flops else None,

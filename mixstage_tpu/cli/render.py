@@ -89,8 +89,13 @@ def render(args: Config, exp_num: int):
             animate([y_pred], interval_id, parents, out.as_posix(), desc,
                     data, None, None, None,
                     f"eval_{subname}" if subname else "eval", text=text)
-    page = make_html_file(exp_dir.as_posix())
-    print(f"HTML grid: {page}")
+    # style-transfer matrix pages, only when transfer dirs exist
+    # (reference render.py:129-132: 'videos' + a 4-clip 'videos_subset')
+    kp_names = {d.name for d in exp_dir.glob("keypoints*")}
+    if kp_names - {"keypoints", "keypoints_style"}:
+        page = make_html_file(exp_dir.as_posix(), args.render, "videos")
+        make_html_file(exp_dir.as_posix(), 4, "videos_subset")
+        print(f"HTML grid: {page}")
 
 
 def main():

@@ -71,13 +71,18 @@ def get_list_files(view_dir: str, num_videos: int = 2) -> Dict:
     return {"grid": grid, "speakers": sorted(speakers)}
 
 
-def make_html_file(view_dir: str, title: str = "Mix-StAGE style transfer",
-                   num_videos: int = 2) -> str:
-    info = get_list_files(view_dir, num_videos)
-    html = _TEMPLATE.render(title=title, grid=info["grid"],
+def make_html_file(view_dir: str, num_videos: int = 2,
+                   outfile: str = "videos",
+                   title: str = "Mix-StAGE style transfer") -> str:
+    """Write ``<outfile>.html`` with up to ``num_videos`` clips per style
+    pair (reference makeHTMLfile(dir_name, idxs, outfile), toHTML.py:56-76;
+    the render CLI builds both 'videos' and a 4-clip 'videos_subset',
+    render.py:131-132)."""
+    info = get_list_files(view_dir, num_videos or 2)
+    html = _TEMPLATE.render(title=f"{title} ({outfile})", grid=info["grid"],
                             sources=info["speakers"],
                             targets=info["speakers"])
-    out = Path(view_dir) / "videos.html"
+    out = Path(view_dir) / f"{outfile}.html"
     os.makedirs(view_dir, exist_ok=True)
     out.write_text(html)
     return out.as_posix()
