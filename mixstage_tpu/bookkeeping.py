@@ -15,9 +15,11 @@ checkpoints optimizer state, SURVEY.md §5).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import random
+import re
 import sys
 import time
 from pathlib import Path
@@ -102,7 +104,21 @@ class BookKeeper:
         """Rebuild args from the checkpoint's ``_args.args`` file, then apply
         updates (reference sample.py:10-15 semantics)."""
         load_path = args.load
-        args_file = load_path.replace("_weights.p", "_args.args")
+        # works for both PREFIX_weights.p files and PREFIX_weights.orbax dirs
+        # (the orbax dir name is sanitized, so also try the raw prefix glob)
+        args_file = re.sub(r"_weights\.(p|orbax)/?$", "_args.args", load_path)
+        if not os.path.exists(args_file) and load_path.endswith(".orbax"):
+            # the orbax dir name is char-sanitized; find the args file whose
+            # sanitized name matches
+            want = os.path.basename(args_file)
+            for cand in glob.glob(os.path.join(os.path.dirname(load_path),
+                                               "*_args.args")):
+                s = os.path.basename(cand)
+                for ch in "[]'\" ,":
+                    s = s.replace(ch, "-")
+                if s == want:
+                    args_file = cand
+                    break
         if os.path.exists(args_file):
             restored = config_from_dict(json.load(open(args_file)))
             restored.load = load_path

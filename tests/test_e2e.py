@@ -225,3 +225,35 @@ def test_weighted_gan_sampler_feedback_e2e(synth, tmp_path_factory):
     assert np.isfinite(w1).all() and (w1 >= 0.1 - 1e-9).all()
     # the adapted coin stays a valid clipped probability (p0 = r/(r+1))
     assert 0.05 <= tr._d_prob <= 0.95 and np.isfinite(p0)
+
+
+@pytest.mark.slow
+def test_orbax_backend_train_and_resume_e2e(synth, tmp_path_factory):
+    """-ckpt_backend orbax end-to-end: training writes the atomic
+    PREFIX_weights.orbax dir (weights + optimizer + counters); a fresh
+    trainer restores from it via -load, including restored args."""
+    save_dir = str(tmp_path_factory.mktemp("save_orbax"))
+    cfg = base_cfg(synth, save_dir, model="Speech2Gesture_G", gan=0,
+                   loss="L1Loss", speaker=["oliver"], num_epochs=1, exp=51,
+                   ckpt_backend="orbax", save_optim=1)
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    tr.start_exp()
+    tr.train(exp_num=51)
+    tr.finish_exp()
+    import jax
+
+    dirs = [f for f in os.listdir(save_dir) if f.endswith("_weights.orbax")]
+    assert dirs, os.listdir(save_dir)
+    assert not any(f.endswith("_weights.p") for f in os.listdir(save_dir))
+    w_before = np.asarray(jax.tree_util.tree_leaves(tr.state.g_params)[0])
+
+    load_path = os.path.join(save_dir, dirs[0])
+    cfg2 = base_cfg(synth, save_dir, model="Speech2Gesture_G", gan=0,
+                    loss="L1Loss", speaker=["oliver"], load=load_path,
+                    num_epochs=1, exp=51)
+    tr2 = Trainer(cfg2, ["exp", "cpk", "speaker", "model", "note"], {})
+    # args restored from the sibling _args.args despite the sanitized name
+    assert tr2.args.ckpt_backend == "orbax" and tr2.args.save_optim == 1
+    w_after = np.asarray(jax.tree_util.tree_leaves(tr2.state.g_params)[0])
+    np.testing.assert_array_equal(w_before, w_after)
+    assert int(tr2.state.step) > 0  # counters restored (save_optim)
