@@ -146,3 +146,34 @@ def test_pose_and_style_decoders():
     v2 = sdec.init({"params": jax.random.key(0)}, x, train=False)
     out2 = sdec.apply(v2, x, train=False)
     assert out2.shape == (B, T, M * 24)
+
+
+def test_einsum_lowerings_match_conv_forms():
+    """GroupedPointwiseConv and ConvNormRelu(lowering='einsum') are
+    parameter- and math-identical to their nn.Conv grouped forms (the
+    dot_general lowerings exist to sidestep XLA SPMD grouped-conv
+    partitioner pathologies; see layers.py docstrings)."""
+    import numpy as np
+    from flax import linen as nn
+
+    from mixstage_tpu.models.layers import (ConvNormRelu,
+                                            GroupedPointwiseConv)
+
+    G, C, F = 4, 32, 24
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, G * C)), jnp.float32)
+
+    gpc = GroupedPointwiseConv(features=G * F, groups=G)
+    v = gpc.init(jax.random.key(0), x)
+    ref = nn.Conv(G * F, kernel_size=(1,), feature_group_count=G)
+    out_conv = ref.apply({"params": dict(v["params"])}, x)
+    np.testing.assert_array_equal(np.asarray(gpc.apply(v, x)),
+                                  np.asarray(out_conv))
+
+    cnr_conv = ConvNormRelu(C, C, type="1d", leaky=True, groups=G)
+    cnr_eins = ConvNormRelu(C, C, type="1d", leaky=True, groups=G,
+                            lowering="einsum")
+    v2 = cnr_conv.init(jax.random.key(1), x, train=False)
+    a = np.asarray(cnr_conv.apply(v2, x, train=False), np.float64)
+    b = np.asarray(cnr_eins.apply(v2, x, train=False), np.float64)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
