@@ -267,7 +267,11 @@ def main():
 
     serve32_sec = marginal_time(serve32_chain, n=16)
     serve_fps = 32 * T / serve32_sec
-    serve_flops = flops_of(serve, audio32, style32)
+    if hasattr(serve, "jitted"):
+        serve_flops = flops_of(serve.jitted, *serve.bound_args,
+                               audio32, style32)
+    else:
+        serve_flops = flops_of(serve, audio32, style32)
     serve_tflops = (serve_flops / serve32_sec / 1e12) if serve_flops else None
     log(f"serving throughput bs32 (device-marginal): "
         f"{serve_fps:,.0f} frames/s/chip"

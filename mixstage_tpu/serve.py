@@ -183,8 +183,12 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
             logits = folded_decoder_xla(x, {**fd, "c0": c0}, G)
         return index_select_outputs(logits, soft, G)
 
-    return lambda audio, style_ids: serve(gen_params, gen_bstats, fd, fc,
-                                          audio, style_ids)
+    fn = lambda audio, style_ids: serve(gen_params, gen_bstats, fd, fc,  # noqa: E731
+                                        audio, style_ids)
+    # expose the jitted inner fn + bound weights for cost analysis (bench.py)
+    fn.jitted = serve
+    fn.bound_args = (gen_params, gen_bstats, fd, fc)
+    return fn
 
 
 def build_waveform_serving_fn(factory, state, seconds: float = 4.3,
