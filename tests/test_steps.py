@@ -309,3 +309,26 @@ def test_weighted_gan_steps():
         assert W.shape == (B,)
         assert (W >= 0.1 - 1e-6).all() and (W <= 10.0 + 1e-6).all()
         assert np.isfinite(float(losses["total"]))
+
+
+def test_sampling_is_deterministic(mixstage_factory, mixstage_state):
+    """Bit-compatible sampling (BASELINE.json north star): the eval/sampling
+    graph is a pure function of (state, batch, style) — two invocations give
+    byte-identical poses, including the style-transfer path."""
+    f, state = mixstage_factory, mixstage_state
+    batch = make_batch(f.cfg, seed=7)
+    steps = f.make_steps()
+    _, pose_a, _ = steps["eval"](state, batch, use_pose_input=False,
+                                 sample_flag=True)
+    _, pose_b, _ = steps["eval"](state, batch, use_pose_input=False,
+                                 sample_flag=True)
+    np.testing.assert_array_equal(np.asarray(pose_a), np.asarray(pose_b))
+    # style transfer: shifting the injected style id changes the pose
+    # deterministically (trainer update_kwargs semantics, trainer.py:1367-1386)
+    shifted = {**batch, "style": (batch["style"] + 1) % f.cfg.num_speakers}
+    _, pose_s1, _ = steps["eval"](state, shifted, use_pose_input=False,
+                                  sample_flag=True)
+    _, pose_s2, _ = steps["eval"](state, shifted, use_pose_input=False,
+                                  sample_flag=True)
+    np.testing.assert_array_equal(np.asarray(pose_s1), np.asarray(pose_s2))
+    assert not np.array_equal(np.asarray(pose_a), np.asarray(pose_s1))
