@@ -267,6 +267,30 @@ def main():
 
     serve32_sec = marginal_time(serve32_chain, n=16)
     serve_fps = 32 * T / serve32_sec
+
+    # bf16 serving variant: same weights, bf16 compute (~+11%, ~0.5% drift —
+    # within the 1% fused-serving contract)
+    bf16_serve_fps = bf16_serve_drift = None
+    try:
+        bf16_eval = build(jnp.bfloat16, donate=False)
+        serve16 = build_serving_fn(bf16_eval, estate)
+        a16 = audio32.astype(jnp.bfloat16)
+        ref_out = np.asarray(serve(audio32, style32), np.float64)
+        out16 = np.asarray(serve16(a16, style32), np.float64)
+        bf16_serve_drift = float(np.abs(out16 - ref_out).mean()
+                                 / np.abs(ref_out).mean())
+
+        def serve16_chain(n):
+            out = None
+            for _ in range(n):
+                out = serve16(a16, style32)
+            return out.sum()
+
+        bf16_serve_fps = 32 * T / marginal_time(serve16_chain, n=16)
+        log(f"serving bs32 bf16: {bf16_serve_fps:,.0f} frames/s/chip "
+            f"(drift vs f32 {bf16_serve_drift:.3%})")
+    except Exception as e:  # noqa: BLE001
+        log(f"bf16 serving unavailable ({e})")
     if hasattr(serve, "jitted"):
         serve_flops = flops_of(serve.jitted, *serve.bound_args,
                                audio32, style32)
@@ -299,6 +323,10 @@ def main():
             "p50_latency_ms_64frame_clip_device": round(p50_dev, 2),
             "p50_latency_ms_64frame_clip_e2e": round(p50_e2e, 2),
             "serving_frames_per_sec_per_chip_bs32": round(serve_fps, 1),
+            "serving_bs32_bf16_frames_per_sec_per_chip":
+                round(bf16_serve_fps, 1) if bf16_serve_fps else None,
+            "serving_bs32_bf16_drift_vs_f32":
+                round(bf16_serve_drift, 5) if bf16_serve_drift else None,
             "serving_bs32_gflops": round(serve_flops / 1e9, 1)
                 if serve_flops else None,
             "serving_bs32_achieved_tflops": round(serve_tflops, 1)
