@@ -324,9 +324,11 @@ def main():
             "p50_latency_ms_64frame_clip_e2e": round(p50_e2e, 2),
             "serving_frames_per_sec_per_chip_bs32": round(serve_fps, 1),
             "serving_bs32_bf16_frames_per_sec_per_chip":
-                round(bf16_serve_fps, 1) if bf16_serve_fps else None,
+                round(bf16_serve_fps, 1) if bf16_serve_fps is not None
+                else None,
             "serving_bs32_bf16_drift_vs_f32":
-                round(bf16_serve_drift, 5) if bf16_serve_drift else None,
+                round(bf16_serve_drift, 5) if bf16_serve_drift is not None
+                else None,
             "serving_bs32_gflops": round(serve_flops / 1e9, 1)
                 if serve_flops else None,
             "serving_bs32_achieved_tflops": round(serve_tflops, 1)

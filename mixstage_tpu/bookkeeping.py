@@ -224,10 +224,20 @@ class BookKeeper:
 
         self._best_bytes = self._serialize(state)  # keep the in-memory best
         path = self._orbax_path()
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        # Write-to-sibling-then-swap so a crash at ANY point leaves a
+        # complete checkpoint on disk (either the old dir at `path`/`.old`
+        # or the freshly committed one) — never rmtree the only copy first.
+        tmp, old = path + ".tmp", path + ".old"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, self._state_to_full_ckpt(state))
+            ckptr.save(tmp, self._state_to_full_ckpt(state))
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def _load_orbax(self, state, path: str):
         import jax.numpy as jnp
@@ -299,9 +309,14 @@ class BookKeeper:
         if path.endswith(".orbax") or os.path.isdir(path):
             return self._load_orbax(state, os.path.abspath(path))
         if (not os.path.exists(path)
-                and getattr(self.args, "ckpt_backend", "msgpack") == "orbax"
-                and os.path.isdir(self._orbax_path())):
-            return self._load_orbax(state, self._orbax_path())
+                and getattr(self.args, "ckpt_backend", "msgpack") == "orbax"):
+            opath = self._orbax_path()
+            if not os.path.isdir(opath) and os.path.isdir(opath + ".old"):
+                # crash window of _save_orbax between the two renames:
+                # the previous checkpoint survives at `.old` — recover it
+                os.rename(opath + ".old", opath)
+            if os.path.isdir(opath):
+                return self._load_orbax(state, opath)
         with open(path, "rb") as f:
             ckpt = serialization.msgpack_restore(f.read())
         restored = {}

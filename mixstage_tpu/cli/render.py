@@ -20,6 +20,21 @@ from mixstage_tpu.data.hdf5 import HDF5
 from mixstage_tpu.htmlgrid.to_html import make_html_file
 
 
+def select_render_files(kp_dir: Path, n: int) -> list:
+    """Pick ``n`` interval files per (split, speaker) subdirectory of a
+    keypoints tree, reseeding for each so the choice is stable run-to-run
+    and matches the reference's selection (render.py:78-83: sorted listdir
+    → np.random.seed(0) → permutation[:n]; n=0 therefore selects nothing,
+    as upstream does)."""
+    files: list = []
+    for split_spk_dir in sorted(d for d in kp_dir.glob("*/*") if d.is_dir()):
+        group = sorted(split_spk_dir.glob("*.h5"))
+        np.random.seed(0)
+        idxs = np.random.permutation(np.arange(len(group)))[:n]
+        files.extend(group[i] for i in idxs)
+    return files
+
+
 def render(args: Config, exp_num: int):
     assert args.load, "pass -load <PREFIX_weights.p> of a sampled experiment"
     prefix = Path(args.load.replace("_weights.p", ""))
@@ -41,14 +56,7 @@ def render(args: Config, exp_num: int):
 
     for kp_dir in sorted(exp_dir.glob("keypoints*")):
         subname = kp_dir.name.replace("keypoints", "").lstrip("_") or None
-        files = sorted(kp_dir.rglob("*.h5"))
-        if args.render and len(files) > args.render:
-            # -render N = render only N randomly-chosen intervals, same
-            # choice every run (reference render.py:80-84, np.random.seed(0))
-            np.random.seed(0)
-            idxs = np.random.permutation(np.arange(len(files)))[:args.render]
-            files = [files[i] for i in idxs]
-        for h5file in files:
+        for h5file in select_render_files(kp_dir, args.render):
             interval_id = h5file.stem
             if render_list and interval_id not in render_list:
                 continue

@@ -26,11 +26,19 @@ def smooth_l1(y_cap, y, beta: float = 1.0):
     return jnp.where(d < beta, 0.5 * d ** 2 / beta, d - 0.5 * beta)
 
 
+def huber(y_cap, y, delta: float = 1.0):
+    """torch ``nn.HuberLoss`` semantics: quadratic below ``delta``, then
+    ``delta*(|d| - delta/2)`` — i.e. ``delta * smooth_l1(beta=delta)``,
+    NOT smooth_l1 with ``beta`` renamed."""
+    d = jnp.abs(y_cap - y)
+    return jnp.where(d < delta, 0.5 * d ** 2, delta * (d - 0.5 * delta))
+
+
 CRITERIA: Dict[str, Callable] = {
     "MSELoss": mse,
     "L1Loss": l1,
     "SmoothL1Loss": smooth_l1,
-    "HuberLoss": smooth_l1,
+    "HuberLoss": huber,
 }
 
 
