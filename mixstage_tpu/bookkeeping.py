@@ -63,7 +63,7 @@ class BookKeeper:
 
     def __init__(self, args: Config, args_subset: Optional[List[str]] = None,
                  args_dict_update: Optional[Dict[str, Any]] = None,
-                 tensorboard: int = 0):
+                 tensorboard: Optional[int] = None):
         args_subset = args_subset or ["exp", "cpk", "speaker", "model", "note"]
         args_dict_update = dict(args_dict_update or {})
 
@@ -92,7 +92,9 @@ class BookKeeper:
         self.stop_count = 0
         self._best_bytes: Optional[bytes] = None
         self._log_file = None
-        self._tb = tensorboard
+        # default to args.tb so BookKeeper(cfg) alone honours -tb 1
+        self._tb = (getattr(self.args, "tb", 0)
+                    if tensorboard is None else tensorboard)
 
         # persist args + name immediately (reference file contract)
         self.args.save(self.name("args", "args", self.save_dir))
@@ -359,13 +361,17 @@ class BookKeeper:
             return
         try:
             from torch.utils.tensorboard import SummaryWriter
-
-            if not hasattr(self, "_writer"):
-                self._writer = SummaryWriter(log_dir=self.name.dir(self.save_dir))
-            for tag, val, step in updates.get("scalar", []):
-                self._writer.add_scalar(tag, val, step)
-        except Exception:
-            pass
+        except ImportError:  # tb requested but no backend: warn once, no-op
+            if not getattr(self, "_tb_warned", False):
+                self._tb_warned = True
+                self.log("WARNING: -tb 1 but tensorboard is unavailable; "
+                         "scalars will not be written")
+            return
+        if not hasattr(self, "_writer"):
+            self._writer = SummaryWriter(log_dir=self.name.dir(self.save_dir))
+        for tag, val, step in updates.get("scalar", []):
+            self._writer.add_scalar(tag, float(val), int(step))
+        self._writer.flush()
 
     # ----------------------------------------------------------- early stop
     def stop_training(self, state, epoch) -> bool:

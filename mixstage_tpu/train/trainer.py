@@ -294,6 +294,25 @@ class Trainer:
             self.book.update_res(dev_metrics)
             self.book.update_res(test_metrics)
             self.book._save_res()
+            if self.args.tb:
+                # per-epoch loss/pck/spatialNorm scalars per split
+                # (reference trainer.py:533-551)
+                cpk = self.args.cpk
+                scalars = [[f"{cpk}/train", train_loss, epoch],
+                           [f"{cpk}/dev", dev_loss, epoch],
+                           [f"{cpk}/test", test_loss, epoch]]
+                for split, metrics in (("train", train_metrics),
+                                       ("dev", dev_metrics),
+                                       ("test", test_metrics)):
+                    # tag order mirrors upstream exactly: pck_<split> but
+                    # <split>_spatialNorm (trainer.py:537-551)
+                    for tag, key in ((f"pck_{split}", f"{split}_pck"),
+                                     (f"{split}_spatialNorm",
+                                      f"{split}_spatialNorm")):
+                        if key in metrics:
+                            scalars.append([f"{cpk}/{tag}",
+                                            metrics[key], epoch])
+                self.book.update_tb({"scalar": scalars})
             self.book.print_res(
                 epoch, key_order=["train", "dev", "test"],
                 metric_order=self.metric_order, exp=exp_num,
@@ -714,6 +733,17 @@ class Trainer:
         import jax
 
         k = self._scan_k
+        if self.args.weighted and getattr(self.args, "update_D_prob_flag", 0):
+            # The D/G coins for a whole chunk are flipped at chunk start, so
+            # the adaptive D-prob (losses.adaptive_d_prob) would lag by up to
+            # k steps at the recommended -scan_steps 64.  Cap the chunk at 8
+            # so the coin probability is never more than 8 steps stale.
+            # Sampler-weight feedback itself needs NO cap: the weighted
+            # sampler draws the whole epoch's indices at __iter__ (both here
+            # and in torch), so intra-epoch weight updates only influence the
+            # NEXT epoch — any flush cadence lands before that boundary.
+            # See ARCHITECTURE.md "Weighted-GAN feedback under scan".
+            k = min(k, 8)
         pend = []
         count = 0
 
