@@ -183,21 +183,23 @@ def test_scan_loop_driver_logic_with_stub(synth, tmp_path_factory):
 
     def fake_scan(state, stacked, coins, rngs):
         calls["scan"] += 1
-        B = stacked["y"].shape[1]
         losses = {"total": jnp.ones((k,)), "pose": jnp.ones((k,)) * 0.5}
         poses = jnp.zeros((k,) + stacked["y"].shape[1:])
         return state.replace(step=state.step + k), losses, poses
 
-    real_d, real_g = tr.steps["d"], tr.steps["g"]
-
-    def spy(name, fn):
+    def stub_step(name):
+        # fully stubbed (never invokes the real jitted step — the multi-
+        # minute CPU compile is covered by the slow/heavy tiers); this test
+        # verifies the DRIVER mechanics only
         def wrapped(state, batch, rng, **kw):
             calls["per_step"].append(name)
-            return fn(state, batch, rng, **kw)
+            losses = {"total": jnp.ones(()), "pose": jnp.ones(()) * 0.5}
+            return (state.replace(step=state.step + 1), losses,
+                    jnp.zeros_like(batch["y"]))
         return wrapped
 
     tr._scan_step = fake_scan
-    tr.steps = {**tr.steps, "d": spy("d", real_d), "g": spy("g", real_g)}
+    tr.steps = {**tr.steps, "d": stub_step("d"), "g": stub_step("g")}
 
     loss, metrics, _ = tr.train_loop(tr.data_train, "train", epoch=0)
     assert np.isfinite(loss)

@@ -54,6 +54,7 @@ def test_not_aligned_bootstraps_text_meta(raw_synth):
     assert not (set(df_sp["interval_id"]) & missing)
 
 
+@pytest.mark.slow
 def test_aligned_path_reuses_bootstrapped_meta(raw_synth):
     # after the not-aligned pass wrote text/meta, the aligned path must work
     text = Text(path2data=raw_synth, path2outdata=raw_synth,
@@ -101,6 +102,7 @@ def test_expand_subwords_fills_spans():
     assert out[:, 0].tolist() == [1, 1, 2, 3, 3, 3]
 
 
+@pytest.mark.slow
 def test_bert_sentence_batching_shapes():
     from mixstage_tpu.data.text import BertSentenceBatching
 
