@@ -176,6 +176,90 @@ def run_jax(factory, state, batch, coins):
     return losses
 
 
+def _end_state_quality(factory, state, batch, y):
+    """PCK + spatialNorm of the trained model's forward on the fixed batch
+    (the dev-selection metrics, evaluation/metrics.py Expressiveness/PCK)."""
+    from mixstage_tpu.evaluation.metrics import PCK, Expressiveness
+
+    _, pose, _ = factory._eval_step(state, batch, use_pose_input=False,
+                                    sample_flag=True)
+    y_cap = np.asarray(pose, np.float64).reshape(-1, 2, FEATS // 2)
+    gt = np.asarray(y, np.float64).reshape(-1, 2, FEATS // 2)
+    pck = PCK(num_joints=FEATS // 2)
+    pck(y_cap, gt)
+    expr = Expressiveness(mean=gt.reshape(gt.shape[0], -1).mean(0))
+    expr(y_cap.reshape(y_cap.shape[0], -1), gt.reshape(gt.shape[0], -1))
+    return {"pck": pck.get_averages("x")["x_pck"],
+            "spatialNorm": expr.get_averages("x")["x_spatialNorm"]}
+
+
+def run_bf16_arm(steps: int = 200):
+    """bf16 vs f32 *training* dynamics within this framework (VERDICT r2
+    item 1): N interleaved G/D steps from identical f32 master weights, one
+    arm computing in bf16 (`-dtype bfloat16`: bf16 activations/losses/BN
+    batch stats, f32 params + Adam), the other in f32.  Reports the
+    loss-trajectory divergence at checkpoints and the end-state
+    PCK/spatialNorm deltas — the collateral for the bf16 training headline
+    and the jobs files' "≤1% quality drift" claim."""
+    import jax
+    import jax.numpy as jnp
+
+    from mixstage_tpu.train.steps import StepConfig, StepFactory
+
+    common = dict(model="JointLateClusterSoftStyle4_G", gan=True,
+                  criterion="L1Loss", num_clusters=M, num_speakers=S, lr=1e-4)
+    f32 = StepFactory(StepConfig(**common), donate=False)
+    bf16 = StepFactory(StepConfig(**common, dtype=jnp.bfloat16), donate=False)
+
+    rng = np.random.default_rng(5)
+    audio = rng.normal(size=(B, T, MEL)).astype(np.float32)
+    y = rng.normal(size=(B, T, FEATS)).astype(np.float32)
+    batch = {"x": (jnp.asarray(audio),), "y": jnp.asarray(y),
+             "labels": jnp.asarray(rng.integers(0, M, size=(B, T)), jnp.int32),
+             "style": jnp.asarray(
+                 np.repeat(rng.integers(0, S, size=(B, 1)), T, 1), jnp.int32)}
+    state0 = f32.init(jax.random.key(0), batch)  # f32 master weights, shared
+
+    coins = [(i % 3) == 2 for i in range(steps)]
+    sf32, sf16 = state0, state0
+    js32, js16 = f32.make_steps(), bf16.make_steps()
+    losses32, losses16 = [], []
+    for step, coin_d in enumerate(coins):
+        k = jax.random.key(step)
+        branch = "d" if coin_d else "g"
+        sf32, out32, _ = js32[branch](sf32, batch, k, use_pose_input=False)
+        sf16, out16, _ = js16[branch](sf16, batch, k, use_pose_input=False)
+        losses32.append(float(out32["total"]))
+        losses16.append(float(out16["total"]))
+
+    a32, a16 = np.asarray(losses32), np.asarray(losses16)
+    rel = np.abs(a16 - a32) / np.abs(a32)
+    checkpoints = {str(n): float(rel[:n].max())
+                   for n in (50, 100, steps) if n <= steps}
+    q32 = _end_state_quality(f32, sf32, batch, y)
+    q16 = _end_state_quality(bf16, sf16, batch, y)
+
+    out = {"steps": steps,
+           "f32": losses32, "bf16": losses16,
+           "max_rel_divergence_at": checkpoints,
+           "end_pck_f32": q32["pck"], "end_pck_bf16": q16["pck"],
+           "end_spatialNorm_f32": q32["spatialNorm"],
+           "end_spatialNorm_bf16": q16["spatialNorm"],
+           "end_pck_rel_delta": abs(q16["pck"] - q32["pck"])
+               / max(abs(q32["pck"]), 1e-9),
+           "end_spatialNorm_rel_delta":
+               abs(q16["spatialNorm"] - q32["spatialNorm"])
+               / max(abs(q32["spatialNorm"]), 1e-9)}
+    print(f"[bf16_vs_f32] {steps} steps: max rel loss divergence "
+          + ", ".join(f"@{n}={v * 100:.3f}%"
+                      for n, v in checkpoints.items())
+          + f"; end PCK {q32['pck']:.4f} (f32) vs {q16['pck']:.4f} (bf16) "
+          f"[Δ {out['end_pck_rel_delta'] * 100:.2f}%]; spatialNorm "
+          f"{q32['spatialNorm']:.4f} vs {q16['spatialNorm']:.4f} "
+          f"[Δ {out['end_spatialNorm_rel_delta'] * 100:.2f}%]")
+    return out
+
+
 def compare(name, torch_losses, jax_losses, coins):
     diffs = np.abs(np.array(torch_losses) - np.array(jax_losses))
     rel = diffs / np.abs(np.array(torch_losses))
@@ -190,35 +274,46 @@ def compare(name, torch_losses, jax_losses, coins):
             "max_rel_diff": float(rel.max())}
 
 
-def main(steps: int = 20):
+def main(steps: int = 20, bf16_steps: int = 0):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
     out = {}
-    # g_only: every step is a G step
-    factory, state, batch, tG, tD, audio, y, labels, style_ids = setup()
-    coins = [False] * steps
-    out["g_only"] = compare(
-        "g_only",
-        run_torch(tG, tD, audio, y, labels, style_ids, coins),
-        run_jax(factory, state, batch, coins), coins)
+    if bf16_steps:
+        out["bf16_vs_f32"] = run_bf16_arm(bf16_steps)
+    if steps:
+        # g_only: every step is a G step
+        factory, state, batch, tG, tD, audio, y, labels, style_ids = setup()
+        coins = [False] * steps
+        out["g_only"] = compare(
+            "g_only",
+            run_torch(tG, tD, audio, y, labels, style_ids, coins),
+            run_jax(factory, state, batch, coins), coins)
 
-    # gan_mix: a D step every 3rd iteration (fixed, replica-consistent coin
-    # pattern — the production path flips the same host coin on both sides)
-    factory, state, batch, tG, tD, audio, y, labels, style_ids = setup()
-    coins = [(i % 3) == 2 for i in range(steps)]
-    out["gan_mix"] = compare(
-        "gan_mix",
-        run_torch(tG, tD, audio, y, labels, style_ids, coins),
-        run_jax(factory, state, batch, coins), coins)
+        # gan_mix: a D step every 3rd iteration (fixed, replica-consistent
+        # coin pattern — the production path flips the same host coin on
+        # both sides)
+        factory, state, batch, tG, tD, audio, y, labels, style_ids = setup()
+        coins = [(i % 3) == 2 for i in range(steps)]
+        out["gan_mix"] = compare(
+            "gan_mix",
+            run_torch(tG, tD, audio, y, labels, style_ids, coins),
+            run_jax(factory, state, batch, coins), coins)
 
-    json.dump(out, open(Path(__file__).parent / "dynamics_parity.json", "w"),
-              indent=2)
+    path = Path(__file__).parent / "dynamics_parity.json"
+    if path.exists():  # merge so the bf16 arm can be run separately
+        prev = json.load(open(path))
+        prev.update(out)
+        out = prev
+    json.dump(out, open(path, "w"), indent=2)
     return out
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
-    main(ap.parse_args().steps)
+    ap.add_argument("--bf16-steps", type=int, default=0,
+                    help="also run the bf16-vs-f32 training arm for N steps")
+    ns = ap.parse_args()
+    main(ns.steps, ns.bf16_steps)
