@@ -151,6 +151,9 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("ckpt_backend", str, "msgpack", "'msgpack' (reference PREFIX_weights.p contract) or "
      "'orbax' (atomic PREFIX_weights.orbax dir incl. optimizer state)"),
     ("scan_steps", int, 0, "fuse k train steps into one dispatch via lax.scan (0 = per-step)"),
+    ("fused_decoder", int, 0,
+     "run the mixture decoder's train fwd+bwd as fused Pallas kernels "
+     "(TPU fast path; requires modelKwargs p == 0)"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

@@ -80,6 +80,11 @@ class StepConfig:
     # store Adam first moments in this dtype ('bfloat16' halves optimizer
     # HBM traffic, ~3-5% step time; None = param dtype for exact parity)
     optim_mu_dtype: Optional[str] = None
+    # run the mixture decoder's TRAIN-mode fwd+bwd as fused Pallas kernels
+    # (ops/pallas/train_decoder.py): weights consumed as stored (no XLA
+    # repacking), activations VMEM-resident.  Opt-in fast path, bf16-oriented;
+    # requires p_dropout == 0 and the JointLateClusterSoftStyle4 decoder shape
+    fused_decoder: bool = False
     p_dropout: float = 0.0
     dtype: Any = jnp.float32
     model_kwargs: Tuple = ()
@@ -293,6 +298,10 @@ class StepFactory:
         variables = {"params": params, "batch_stats": bstats}
         kwargs = dict(input_modalities=list(self.cfg.input_modalities),
                       use_pose_input=use_pose_input, train=train)
+        if train and self.cfg.fused_decoder:
+            return self._apply_gen_style_fused(variables, params, bstats,
+                                               batch, style_weights, rng,
+                                               kwargs)
         if train:
             out, mut = self.gen.apply(variables, list(batch["x"]), batch["y"],
                                       style_weights, mutable=["batch_stats"],
@@ -301,6 +310,41 @@ class StepFactory:
         out = self.gen.apply(variables, list(batch["x"]), batch["y"],
                              style_weights, **kwargs)
         return out, bstats
+
+    def _apply_gen_style_fused(self, variables, params, bstats, batch,
+                               style_weights, rng, kwargs):
+        """Train-mode forward with the mixture decoder as fused Pallas
+        fwd+bwd kernels (StepConfig.fused_decoder; ops/pallas/train_decoder).
+
+        The backbone (encoders + UNet + cluster classifier) runs as the
+        normal flax graph with mutable batch stats; the decoder runs as the
+        custom-vjp kernel, and its BatchNorm running stats are updated here
+        with the exact flax rule (ra = momentum*ra + (1-momentum)*batch,
+        momentum 0.9, biased batch var)."""
+        import jax.numpy as jnp
+
+        from mixstage_tpu.ops.mixture import index_select_outputs
+        from mixstage_tpu.ops.pallas.train_decoder import fused_decoder_train
+
+        assert self.cfg.p_dropout == 0.0, \
+            "-fused_decoder requires p_dropout == 0"
+        (x_feat, labels_score, labels_cap_soft), mut = self.gen.apply(
+            variables, list(batch["x"]), batch["y"], style_weights,
+            method="backbone", mutable=["batch_stats"],
+            rngs={"dropout": rng}, **kwargs)
+        M = self.cfg.num_clusters
+        xr, stats = fused_decoder_train(x_feat, params, M)
+        pose = index_select_outputs(xr, labels_cap_soft, M)
+        gen_bs = dict(mut["batch_stats"])
+        for i, (mu, var) in enumerate(stats):
+            old = gen_bs[f"decoder{i}"]["norm"]
+            gen_bs[f"decoder{i}"] = {
+                **gen_bs[f"decoder{i}"],
+                "norm": {"mean": 0.9 * old["mean"] + 0.1 * mu,
+                         "var": 0.9 * old["var"] + 0.1 * var}}
+        out = {"pose": pose, "labels_score": labels_score,
+               "labels_cap_soft": labels_cap_soft}
+        return out, gen_bs
 
     def _apply_gen_simple(self, params, bstats, batch, train, rng):
         variables = {"params": params, "batch_stats": bstats}
