@@ -72,14 +72,14 @@ def flops_of(jitted, *args, **kwargs):
         return None
 
 
-def build(dtype, donate):
+def build(dtype, donate, fused_decoder=False):
     import jax.numpy as jnp
 
     from mixstage_tpu.train.steps import StepConfig, StepFactory
 
     cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
                      criterion="L1Loss", num_clusters=8, num_speakers=8,
-                     dtype=dtype)
+                     dtype=dtype, fused_decoder=fused_decoder)
     return StepFactory(cfg, donate=donate)
 
 
@@ -117,6 +117,56 @@ def bench_scan(factory, B, k, seed0=100, reps=3, chain=8):
     run_chain(1)  # compile warmup
     sec_per_call = marginal_time(run_chain, n=chain, reps=reps)
     return sec_per_call / k, scan_fn, (holder["state"], stacked, coins, rngs)
+
+
+def bench_sampling():
+    """Sampling/style-transfer path (VERDICT r2 item 3): whole-interval
+    bucketed inference (train/sampling.py::sample_loop) + the full host
+    metric cascade, with the metric math overlapped behind the TPU via the
+    _MetricWorker thread.  Timed on the second pass (first pass pays the
+    per-length-bucket compiles).  Reference semantics: trainer.py:705-849."""
+    import tempfile
+
+    from mixstage_tpu.config import config_from_dict
+    from mixstage_tpu.data.synthetic import make_synthetic_dataset
+    from mixstage_tpu.train.sampling import sample_loop
+    from mixstage_tpu.train.trainer import Trainer
+
+    data_dir = "/tmp/bench_pats_sampling"
+    if not (Path(data_dir) / "cmu_intervals_df.csv").exists():
+        make_synthetic_dataset(data_dir, ["oliver", "maher"],
+                               num_intervals_per_speaker=8)
+    save_dir = tempfile.mkdtemp(prefix="bench_sample_")
+    cfg = config_from_dict(dict(
+        path2data=data_dir, speaker=["oliver", "maher"],
+        modalities=["pose/data", "audio/log_mel_512"], fs_new=[15, 15],
+        batch_size=32, window_hop=0, save_dir=save_dir, exp=90,
+        model="JointLateClusterSoftStyle4_G", gan=1, loss="L1Loss",
+        num_clusters=8, metrics=1, render=0))
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    # Trainer.sample() sets dir_name before its sample_loop calls — mirror it
+    tr.dir_name = tr.book.name.dir(cfg.save_dir)
+    log("sampling: warm-up pass (per-bucket compiles)…")
+    sample_loop(tr, "test")
+    t0 = time.perf_counter()
+    sample_loop(tr, "test")
+    wall = time.perf_counter() - t0
+    times = np.asarray(tr._sample_interval_times)
+    n = len(times)
+    overlap_s = tr._sample_metric_overlap_s
+    out = {
+        "sampling_intervals_per_sec": round(n / wall, 2),
+        "sampling_p50_interval_ms": round(float(np.median(times)) * 1e3, 1),
+        "sampling_host_metric_s_per_interval": round(overlap_s / n, 4),
+        "sampling_metric_overlap_fraction":
+            round(min(overlap_s / wall, 1.0), 3),
+        "sampling_n_intervals": n,
+        "sampling_wall_s": round(wall, 2)}
+    log(f"sampling: {n} intervals in {wall:.2f}s "
+        f"({out['sampling_intervals_per_sec']} intervals/s, p50 "
+        f"{out['sampling_p50_interval_ms']} ms/interval; host metric math "
+        f"{overlap_s:.2f}s overlapped behind the TPU)")
+    return out
 
 
 def main():
@@ -211,7 +261,22 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"bf16 path failed ({e}); keeping f32 headline")
 
-    headline_fps = max(scan_fps, per_step_fps, bf16_fps or 0.0)
+    # ---- fused-decoder variant (-fused_decoder: the mixture decoder's
+    # fwd+bwd as Pallas kernels, weights consumed as stored) ---------------
+    fused_fps = None
+    try:
+        log(f"compiling scan(k={k_bf16}) bf16 + fused decoder…")
+        fused_factory = build(jnp.bfloat16, donate=True, fused_decoder=True)
+        fused_sec, _, _ = bench_scan(fused_factory, B, k_bf16,
+                                     chain=max(3, 96 // k_bf16))
+        fused_fps = B * T / fused_sec / n_chips
+        log(f"train scan(k={k_bf16}) bf16 fused-decoder: "
+            f"{fused_sec * 1e3:.3f} ms/step, {fused_fps:,.0f} frames/s/chip")
+    except Exception as e:  # noqa: BLE001
+        log(f"fused-decoder path failed ({e}); keeping flax bf16 headline")
+
+    headline_fps = max(scan_fps, per_step_fps, bf16_fps or 0.0,
+                       fused_fps or 0.0)
 
     # ---- serving: p50 audio→pose latency per 64-frame clip -----------------
     eval_factory = build(jnp.float32, donate=False)
@@ -305,6 +370,12 @@ def main():
             "p50_latency_sec"] * 1e3
         log(f"reference CPU 1-clip latency: {ref_lat:.1f} ms")
 
+    try:
+        sampling_extras = bench_sampling()
+    except Exception as e:  # noqa: BLE001 — never risk the headline
+        log(f"sampling bench unavailable ({e})")
+        sampling_extras = {}
+
     print(json.dumps({
         "metric": "mixstage_gan_train_pose_frames_per_sec_per_chip_bs32",
         "value": round(headline_fps, 1),
@@ -317,6 +388,8 @@ def main():
             "scan_k16_f32_frames_per_sec_per_chip": round(scan_fps, 1),
             "scan_k64_bf16_frames_per_sec_per_chip":
                 round(bf16_fps, 1) if bf16_fps else None,
+            "scan_k64_bf16_fused_decoder_frames_per_sec_per_chip":
+                round(fused_fps, 1) if fused_fps else None,
             "g_step_gflops": round(g_flops / 1e9, 1) if g_flops else None,
             "d_step_gflops": round(d_flops / 1e9, 1) if d_flops else None,
             "train_mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
@@ -334,7 +407,8 @@ def main():
             "serving_bs32_achieved_tflops": round(serve_tflops, 1)
                 if serve_tflops else None,
             "n_chips": n_chips,
-            "reference_frames_per_sec_cpu": round(ref, 1)},
+            "reference_frames_per_sec_cpu": round(ref, 1),
+            **sampling_extras},
     }))
 
 
