@@ -1,0 +1,144 @@
+"""Regenerate the perf tables in README.md / docs/STATUS.md / BASELINE.md
+from the latest driver bench artifact (BENCH_r*.json), so docs always quote
+the driver JSON verbatim instead of ad-hoc rerun numbers (VERDICT r2 item 8).
+
+The docs contain `<!-- BENCH:BEGIN -->` / `<!-- BENCH:END -->` marker pairs;
+everything between them is replaced by a table generated from the JSON.
+
+Usage: python benchmarks/sync_docs.py [--bench BENCH_rNN.json] [--check]
+  --check: exit 1 if any doc is out of date (no rewrite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).parent.parent
+DOCS = [ROOT / "README.md", ROOT / "docs" / "STATUS.md", ROOT / "BASELINE.md"]
+MARK = re.compile(r"<!-- BENCH:BEGIN -->\n.*?<!-- BENCH:END -->", re.DOTALL)
+
+
+def latest_bench() -> Path:
+    benches = sorted(ROOT.glob("BENCH_r*.json"))
+    if not benches:
+        sys.exit("no BENCH_r*.json found")
+    return benches[-1]
+
+
+def fmt_fps(v) -> str:
+    return f"{v / 1e3:,.0f}k frames/s/chip" if v else "—"
+
+
+def render_table(bench_path: Path) -> str:
+    doc = json.load(open(bench_path))
+    parsed = doc.get("parsed") or doc  # driver artifact or raw bench line
+    ex = parsed.get("extras", {})
+    ref = ex.get("reference_frames_per_sec_cpu")
+
+    def vs(v):
+        return f"~{v / ref:,.0f}×" if (v and ref) else "—"
+
+    rows = [
+        ("**Headline: GAN train bs32 (driver metric)**",
+         f"**{fmt_fps(parsed['value'])}**",
+         f"**{parsed['vs_baseline']:,.0f}×**"),
+    ]
+    k64 = ex.get("scan_k64_bf16_frames_per_sec_per_chip")
+    if k64:
+        rows.append(("GAN train bs32, bf16, fused scan k=64",
+                     fmt_fps(k64), vs(k64)))
+    kf = ex.get("scan_k64_bf16_fused_decoder_frames_per_sec_per_chip")
+    if kf:
+        rows.append(("GAN train bs32, bf16, scan k=64 + Pallas fused decoder",
+                     fmt_fps(kf), vs(kf)))
+    k16 = ex.get("scan_k16_f32_frames_per_sec_per_chip")
+    if k16:
+        mfu = ex.get("train_mfu_vs_bf16_peak")
+        note = f" (MFU {mfu:.1%} vs bf16 peak)" if mfu else ""
+        rows.append(("GAN train bs32, f32, fused scan k=16",
+                     fmt_fps(k16) + note, vs(k16)))
+    ps = ex.get("per_step_train_frames_per_sec_per_chip")
+    if ps:
+        rows.append(("GAN train bs32, f32, per-step dispatch",
+                     fmt_fps(ps), vs(ps)))
+    sf = ex.get("serving_frames_per_sec_per_chip_bs32")
+    if sf:
+        tf = ex.get("serving_bs32_achieved_tflops")
+        note = f" ({tf} TFLOP/s achieved)" if tf else ""
+        rows.append(("serving bs32, f32 (BN-folded + Pallas)",
+                     fmt_fps(sf) + note, "—"))
+    sb = ex.get("serving_bs32_bf16_frames_per_sec_per_chip")
+    if sb:
+        drift = ex.get("serving_bs32_bf16_drift_vs_f32")
+        note = f" ({drift:.2%} drift vs f32)" if drift is not None else ""
+        rows.append(("serving bs32, bf16 compute", fmt_fps(sb) + note, "—"))
+    pd, pe = (ex.get("p50_latency_ms_64frame_clip_device"),
+              ex.get("p50_latency_ms_64frame_clip_e2e"))
+    if pd is not None:
+        rows.append(("audio→pose latency, 64-frame clip (p50)",
+                     f"{pd} ms device-marginal / {pe} ms end-to-end incl. "
+                     f"tunnel fetch", "84.1 ms reference"))
+    ips = ex.get("sampling_intervals_per_sec")
+    if ips:
+        p50 = ex.get("sampling_p50_interval_ms")
+        ovl = ex.get("sampling_metric_overlap_fraction")
+        rows.append(("sampling + style transfer + full metric cascade",
+                     f"{ips} intervals/s (p50 {p50} ms/interval, host "
+                     f"metric math {ovl:.0%} of wall, overlapped)", "—"))
+
+    lines = [
+        "<!-- BENCH:BEGIN -->",
+        f"Source of truth: **`{bench_path.name}`** (the driver's run of "
+        f"`bench.py` on 1× TPU v5e; regenerate this block with "
+        f"`python benchmarks/sync_docs.py`).  Reference denominator: "
+        f"{ref} pose frames/s (torch CPU fp64, bs32, "
+        f"`benchmarks/reference_cpu.json`).",
+        "",
+        "| Benchmark | mixstage_tpu | vs reference |",
+        "|---|---|---|",
+    ]
+    lines += [f"| {a} | {b} | {c} |" for a, b, c in rows]
+    gf, df = ex.get("g_step_gflops"), ex.get("d_step_gflops")
+    if gf:
+        lines += ["",
+                  f"FLOP truth (XLA cost analysis): G step {gf} GFLOP, "
+                  f"D step {df} GFLOP at bs32"
+                  + (f"; serving {ex['serving_bs32_gflops']} GFLOP/call."
+                     if ex.get("serving_bs32_gflops") else ".")]
+    lines.append("<!-- BENCH:END -->")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", type=Path, default=None)
+    ap.add_argument("--check", action="store_true")
+    ns = ap.parse_args()
+    block = render_table(ns.bench or latest_bench())
+
+    stale = []
+    for doc in DOCS:
+        text = doc.read_text()
+        if "<!-- BENCH:BEGIN -->" not in text:
+            print(f"{doc}: no BENCH markers, skipped")
+            continue
+        new = MARK.sub(lambda _m: block, text)
+        if new != text:
+            if ns.check:
+                stale.append(doc)
+            else:
+                doc.write_text(new)
+                print(f"{doc}: updated")
+        else:
+            print(f"{doc}: up to date")
+    if stale:
+        sys.exit(f"stale bench tables: {[str(d) for d in stale]} — run "
+                 f"python benchmarks/sync_docs.py")
+
+
+if __name__ == "__main__":
+    main()
