@@ -86,6 +86,60 @@ def test_html_grid(tmp_path):
     assert "1.mp4" in html
 
 
+def test_html_snippets_compose_reference_report(tmp_path):
+    """grid/index/description/heading snippet vocabulary + the reference
+    makeHTMLfile composition (toHTML.py:17-76): bracketed-speaker-list dir,
+    diagonal render/ vs off-diagonal render_<src>_<tgt>/, '0' corner marker
+    cell, one grid per sample idx composed through the index template."""
+    from mixstage_tpu.htmlgrid.snippets import (compose_index,
+                                                get_html_snippet,
+                                                get_list_files,
+                                                make_html_report)
+
+    exp = tmp_path / "exp_3_speaker_['oliver', 'maher']_model"
+    for sp in ("oliver", "maher"):
+        (exp / "render" / "test" / sp).mkdir(parents=True)
+        (exp / "render" / "test" / sp / f"{sp}_0.mp4").touch()
+    (exp / "render_oliver_maher" / "test" / "oliver").mkdir(parents=True)
+    (exp / "render_oliver_maher" / "test" / "oliver" / "x.mp4").touch()
+
+    files = get_list_files(str(exp), 0)
+    assert files[0] == ["0", "oliver", "maher"]           # corner marker row
+    assert files[1][0] == "oliver"
+    assert files[1][1].startswith("render/test/oliver/")  # diagonal
+    assert files[1][2].startswith("render_oliver_maher/") # off-diagonal
+    assert files[2][2] == "render/test/maher/maher_0.mp4"
+
+    page = make_html_report(str(exp), idxs=2)
+    html = open(page).read()
+    assert "Content \\ Style" in html            # '0' marker cell expanded
+    assert html.count("<table>") == 2            # one grid per idx
+    assert "render_oliver_maher/test/oliver/x.mp4" in html
+    assert "<video" in html and "<style>" in html
+
+    # the other two vocabularies + manual composition
+    head = get_html_snippet("heading.html", {"h1": "Appendix B"})
+    desc = get_html_snippet("description.html",
+                            {"h1": "B1", "h2": "body orientation"})
+    composed = compose_index([head, desc])
+    assert '<h1 align="center">Appendix B</h1>' in composed
+    assert "<u>B1</u>" in composed and "body orientation" in composed
+
+
+def test_html_supplementary_page(tmp_path):
+    from mixstage_tpu.htmlgrid.snippets import make_supplementary
+
+    out = make_supplementary(
+        [{"title": "B1. Body Orientation Style",
+          "description": "left vs right",
+          "names": [["1", "modelA"], ["oliver", "render/test/o/0.mp4"]],
+          "columns": [0, 1]}],
+        title="Appendix B", out_path=str(tmp_path / "supp.html"))
+    html = open(out).read()
+    assert "Speaker \\ Model" in html            # '1' marker cell expanded
+    assert "B1. Body Orientation Style" in html and "<video" in html
+
+
 def test_split_text_wraps_at_line_length():
     import pandas as pd
 
