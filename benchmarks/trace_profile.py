@@ -125,6 +125,37 @@ def classify(long_name: str) -> str:
     return "audio2d" if best == "audio2d_w" else best
 
 
+# audio-pyramid attribution for the flagship bs32 model (kernel shapes are
+# unique per conv layer; activation shapes map post-conv fusions/BNs to the
+# producing layer — (32,8,16,256) is shared by conv5-out/conv6 so it reports
+# as the combined bucket 'L5/6')
+_AUDIO_KERNELS = {"3,3,1,64": "L0", "4,4,64,64": "L1", "3,3,64,128": "L2",
+                  "4,4,128,128": "L3", "3,3,128,256": "L4",
+                  "4,4,256,256": "L5", "3,3,256,256": "L6",
+                  "3,8,256,256": "L7"}
+_AUDIO_ACTS = {"32,64,128,64": "L0", "32,32,64,64": "L1",
+               "32,32,64,128": "L2", "32,16,32,128": "L3",
+               "32,16,32,256": "L4", "32,8,16,256": "L5/6",
+               "32,8,15,256": "L7",
+               # space-to-depth folded forms (lowerings='s2d'/'im2col')
+               "32,33,65,256": "L1", "32,17,33,512": "L3",
+               "32,9,17,1024": "L5", "32,64,128,9": "L0",
+               "32,8,16,2304": "L6", "32,8,22,256": "L7",
+               "2,2,256,64": "L1", "2,2,512,128": "L3", "2,2,1024,256": "L5"}
+
+
+def audio_layer(long_name: str):
+    shapes = _SHAPE.findall(long_name)
+    for s in shapes:
+        if s in _AUDIO_KERNELS:
+            return _AUDIO_KERNELS[s]
+    hits = [_AUDIO_ACTS[s] for s in shapes if s in _AUDIO_ACTS]
+    if hits:
+        # most specific = the layer of the op's OUTPUT (first shape in the text)
+        return hits[0]
+    return None
+
+
 def minor_dim_lt_128(long_name: str) -> bool:
     """True if the op's OUTPUT layout puts a <128 dim minor-most (half the
     v5e vector lanes idle; HBM tiles padded 2x)."""

@@ -154,6 +154,10 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("fused_decoder", int, 0,
      "run the mixture decoder's train fwd+bwd as fused Pallas kernels "
      "(TPU fast path; requires modelKwargs p == 0)"),
+    ("audio_lowering", str, "native",
+     "audio conv pyramid relowering plan: 'native' | 'tpu' (best measured) | "
+     "8 comma-separated conv|s2d|im2col entries — exact math, same params, "
+     "perf-only (layers.resolve_audio_lowerings)"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

@@ -97,6 +97,24 @@ class ConvNormRelu(nn.Module):
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype,
                                      name="conv")(x)
+        elif self.lowering == "s2d":
+            # exact space-to-depth relowering of the k4s2 downsample conv
+            # (TPU lane-padding fix — see _Conv2DS2DFold)
+            assert self.type == "2d" and ks == (4, 4) and st == (2, 2) \
+                and pad == [(1, 1), (1, 1)], \
+                "s2d lowering covers the k4 s2 pad1 2-d downsample conv"
+            x = _Conv2DS2DFold(features=features, groups=self.groups,
+                               dtype=self.dtype, param_dtype=self.param_dtype,
+                               name="conv")(x)
+        elif self.lowering == "im2col":
+            # exact patches-matmul relowering of a stride-1 2-d conv
+            # (small-C / small-spatial TPU fix — see _Conv2DIm2col)
+            assert self.type == "2d" and st == (1, 1), \
+                "im2col lowering covers stride-1 2-d convs"
+            x = _Conv2DIm2col(features=features, groups=self.groups,
+                              kernel_size=ks, padding=tuple(pad),
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="conv")(x)
         else:
             x = nn.Conv(features=features, kernel_size=ks, strides=st,
                         padding=pad, feature_group_count=self.groups,
@@ -190,6 +208,39 @@ def resize_bilinear_time(x, time_steps: int):
     return x[:, :, 0, :]
 
 
+# Best measured plan on TPU v5e (benchmarks/audio_lowering_sweep.py): the
+# NATIVE lax convs — both exact-math relowerings lose (s2d +72%: the
+# activation space-to-depth shuffle and its transposed-grad cost more HBM
+# traffic than the lane padding they remove; im2col +13%: kh·kw-fold
+# activation duplication).  'tpu' therefore resolves to None; the explicit
+# plans remain as a measured knob for other shapes/generations.
+AUDIO_LOWERING_TPU: Optional[Tuple[str, ...]] = None
+
+
+def resolve_audio_lowerings(spec) -> Optional[Tuple[str, ...]]:
+    """Translate the -audio_lowering flag into an AudioEncoder plan.
+
+    'native'/None → native lax convs; 'tpu' → the best plan measured on the
+    current TPU generation (AUDIO_LOWERING_TPU — native on v5e, see sweep);
+    otherwise an explicit 8-entry comma list of conv|s2d|im2col.  All plans
+    are exact-math and parameter-compatible (see _Conv2DS2DFold /
+    _Conv2DIm2col), so this is purely a performance knob — checkpoints and
+    parity are unaffected.
+    """
+    if spec is None or (isinstance(spec, str) and spec in ("", "native", "conv")):
+        return None
+    if spec == "tpu":
+        return AUDIO_LOWERING_TPU
+    if isinstance(spec, str):
+        spec = tuple(s.strip() for s in spec.split(","))
+    plan = tuple(spec)
+    if len(plan) != 8 or not all(p in ("conv", "s2d", "im2col") for p in plan):
+        raise ValueError(
+            f"audio_lowering must be 'native', 'tpu', or 8 comma-separated "
+            f"entries from conv|s2d|im2col; got {spec!r}")
+    return plan
+
+
 class AudioEncoder(nn.Module):
     """2D conv pyramid over (time, mel) log-spectrogram windows.
 
@@ -202,8 +253,23 @@ class AudioEncoder(nn.Module):
     input_channels: int = 1
     p: float = 0.0
     groups: int = 1
+    # per-layer conv lowering plan for conv0..conv7: each entry 'conv'
+    # (native lax conv), 's2d' (k4s2 space-to-depth fold) or 'im2col'
+    # (patches matmul) — exact-math TPU relowerings, same params either way
+    # (see _Conv2DS2DFold/_Conv2DIm2col).  None = all native.
+    lowerings: Optional[Tuple[str, ...]] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _lowering(self, i: int, x, down: bool) -> str:
+        lo = "conv" if self.lowerings is None else self.lowerings[i]
+        # shape-safe fallbacks (the sampling path feeds arbitrary bucketed
+        # lengths; the relowered forms need even / large-enough dims)
+        if lo == "s2d" and (x.shape[1] % 2 or x.shape[2] % 2 or not down):
+            return "conv"
+        if lo == "im2col" and down:
+            return "conv"
+        return lo
 
     @nn.compact
     def __call__(self, x, time_steps: Optional[int] = None, train: bool = True):
@@ -218,9 +284,11 @@ class AudioEncoder(nn.Module):
                  (128, 256, False), (256, 256, True),
                  (256, 256, False)]
         for i, (cin, cout, down) in enumerate(chans):
-            x = ConvNormRelu(cin, cout, downsample=down, name=f"conv{i}", **common)(x, train)
+            x = ConvNormRelu(cin, cout, downsample=down, name=f"conv{i}",
+                             lowering=self._lowering(i, x, down),
+                             **common)(x, train)
         x = ConvNormRelu(256, 256, kernel_size=(3, 8), stride=1, name="conv7",
-                         **common)(x, train)
+                         lowering=self._lowering(7, x, False), **common)(x, train)
         return resize_bilinear_time(x, time_steps)
 
 
@@ -405,6 +473,109 @@ class _GroupedConv1DEinsum(nn.Module):
         kg = kernel.reshape(k, cin_pg, G, F)
         y = jnp.einsum("btkgc,kcgf->btgf", xg, kg)
         return y.reshape(B, T, G * F) + bias
+
+
+class _Conv2DS2DFold(nn.Module):
+    """k4 s2 pad1 2-D downsample conv, relowered exactly as
+    pad(1) → space-to-depth(2×2) → k2 s1 VALID conv with block-folded weights.
+
+    Parameter-compatible with ``nn.Conv(features, kernel_size=(4,4),
+    strides=(2,2), padding=1, feature_group_count=G)`` — identical ``kernel``
+    (4, 4, Cin_pg, features) / ``bias`` params, so checkpoints and the torch
+    weight-transfer parity tests are unaffected.
+
+    Derivation (per spatial dim): the stride-2 tap x[2t-1+k], k∈0..3, lives at
+    slot s=k%2 of space-to-depth pair z[t+k//2] built from the 1-padded input
+    (z[u][s] = x[2u+s-1]), so reshaping each kernel 4-axis into
+    (tap=k//2, slot=k%2) and folding slots into channels leaves the
+    contraction bit-identical (zero padding included).
+
+    Why: the native conv's input minor dim is C (= 64/128 in the audio
+    pyramid), which pads half the v5e vector lanes; the folded conv's input
+    minor dim is 4·C ≥ 256 so the MXU sees full 128-lane tiles (the lever
+    identified by benchmarks/trace_profile.py for reference layers.py:159-199
+    conv pyramid's strided stages).
+    """
+
+    features: int
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, F, C = x.shape
+        assert T % 2 == 0 and F % 2 == 0, "s2d fold needs even spatial dims"
+        G = self.groups
+        cpg = C // G
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, cpg, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        To, Fo = T // 2 + 1, F // 2 + 1
+        xp = xp.reshape(B, To, 2, Fo, 2, G, cpg)
+        # channel fold is group-major (g, slot_t, slot_f, c) so
+        # feature_group_count still sees contiguous per-group channels
+        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, To, Fo, G * 4 * cpg)
+        w = kernel.reshape(2, 2, 2, 2, cpg, self.features)  # (kt,st,kf,sf,c,o)
+        w = w.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * cpg, self.features)
+        y = jax.lax.conv_general_dilated(
+            xp, w, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=G)
+        return y + bias
+
+
+class _Conv2DIm2col(nn.Module):
+    """Stride-1 2-D conv relowered exactly as shifted-patch concat + matmul.
+
+    Parameter-compatible with ``nn.Conv(features, kernel_size=(kh,kw),
+    padding=(ph,pw), feature_group_count=G)``.  The kh·kw shifted views of
+    the zero-padded input are concatenated on the channel axis and contracted
+    against the flattened kernel in one dot — the natural MXU form when the
+    native conv's channel dim is tiny (audio conv0, Cin=1: 9-channel patches
+    @ (9, 64) matmul instead of a C=1 lane-starved convolution) or when the
+    spatial extent is too small for XLA to tile well (audio conv6/conv7 at
+    8×16; reference layers.py:159-199).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1))
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, F, C = x.shape
+        kh, kw = self.kernel_size
+        (pt0, pt1), (pf0, pf1) = self.padding
+        G = self.groups
+        cpg = C // G
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cpg, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        xp = jnp.pad(x, ((0, 0), (pt0, pt1), (pf0, pf1), (0, 0)))
+        To = T + pt0 + pt1 - kh + 1
+        Fo = F + pf0 + pf1 - kw + 1
+        taps = jnp.stack([xp[:, dt:dt + To, df:df + Fo, :]
+                          for dt in range(kh) for df in range(kw)], axis=3)
+        if G == 1:
+            patches = taps.reshape(B, To, Fo, kh * kw * C)
+            y = patches @ kernel.reshape(kh * kw * C, self.features)
+        else:
+            xg = taps.reshape(B, To, Fo, kh * kw, G, cpg)
+            kg = kernel.reshape(kh * kw, cpg, G, self.features // G)
+            y = jnp.einsum("btfkgc,kcgo->btfgo", xg, kg)
+            y = y.reshape(B, To, Fo, self.features)
+        return y + bias
 
 
 class GroupedPointwiseConv(nn.Module):

@@ -26,7 +26,7 @@ TPU-first re-design decisions:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -55,12 +55,18 @@ class JointLateClusterSoftStyle4_G(nn.Module):
     # convs.  'einsum' is parameter- and math-identical but partitions
     # cleanly under expert-parallel sharding (layers._GroupedConv1DEinsum)
     decoder_lowering: str = "conv"
+    # per-layer TPU relowering plan for the audio conv pyramid (conv0..conv7,
+    # each 'conv' | 's2d' | 'im2col'); exact math, same params — see
+    # layers.AudioEncoder.lowerings.  None = native convs.
+    audio_lowerings: Optional[Tuple[str, ...]] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         common = dict(p=self.p, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.audio_encoder = AudioEncoder(output_feats=self.time_steps, **common)
+        self.audio_encoder = AudioEncoder(output_feats=self.time_steps,
+                                          lowerings=self.audio_lowerings,
+                                          **common)
         self.text_encoder = TextEncoder1D(
             output_feats=self.time_steps,
             input_channels=self.text_channels if self.text_channels else 300,

@@ -33,6 +33,9 @@ class Speech2Gesture_G(nn.Module):
     in_channels: int = 256
     out_feats: int = 104
     p: float = 0.0
+    # AudioEncoder per-layer TPU relowering plan (exact math, same params;
+    # see layers.resolve_audio_lowerings).  None = native convs.
+    audio_lowerings: Optional[Any] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -43,6 +46,7 @@ class Speech2Gesture_G(nn.Module):
         # (whole-interval sampling, reference trainer.py:778-786)
         common = dict(p=self.p, dtype=self.dtype, param_dtype=self.param_dtype)
         x = AudioEncoder(output_feats=time_steps, name="audio_encoder",
+                         lowerings=self.audio_lowerings,
                          **common)(x, time_steps=time_steps, train=train)
         x = UNet1D(self.in_channels, self.in_channels, name="unet",
                    **common)(x, train=train)

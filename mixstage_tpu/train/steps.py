@@ -85,6 +85,10 @@ class StepConfig:
     # repacking), activations VMEM-resident.  Opt-in fast path, bf16-oriented;
     # requires p_dropout == 0 and the JointLateClusterSoftStyle4 decoder shape
     fused_decoder: bool = False
+    # per-layer TPU relowering plan for the audio conv pyramid:
+    # 'native' | 'tpu' | explicit 8-entry comma list (exact math, same
+    # params — purely a perf knob; layers.resolve_audio_lowerings)
+    audio_lowering: Optional[str] = None
     p_dropout: float = 0.0
     dtype: Any = jnp.float32
     model_kwargs: Tuple = ()
@@ -135,6 +139,11 @@ class StepFactory:
         mk = dict(cfg.model_kwargs)
         if "Disentangle" in cfg.model:
             mk.setdefault("style_losses", dict(cfg.style_losses))
+        if cfg.audio_lowering and \
+                "audio_lowerings" in getattr(gen_cls, "__dataclass_fields__", {}):
+            from mixstage_tpu.models.layers import resolve_audio_lowerings
+            mk.setdefault("audio_lowerings",
+                          resolve_audio_lowerings(cfg.audio_lowering))
         if cfg.has_style:
             self.gen = gen_cls(time_steps=cfg.time_steps, out_feats=cfg.out_feats,
                                num_clusters=cfg.num_clusters or 1,

@@ -169,6 +169,7 @@ class Trainer:
             optim_separate=args.optim_separate,
             optim_mu_dtype=getattr(args, "optim_mu_dtype", None),
             fused_decoder=bool(getattr(args, "fused_decoder", 0)),
+            audio_lowering=getattr(args, "audio_lowering", None),
             p_dropout=float(mk.pop("p", 0.0)), dtype=self.fp,
             model_kwargs=tuple(mk.items()))
         self.factory = StepFactory(self.step_cfg, g_schedule=schedule,

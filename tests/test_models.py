@@ -177,3 +177,111 @@ def test_einsum_lowerings_match_conv_forms():
     a = np.asarray(cnr_conv.apply(v2, x, train=False), np.float64)
     b = np.asarray(cnr_eins.apply(v2, x, train=False), np.float64)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_2d_relowerings_match_native_conv():
+    """_Conv2DS2DFold and _Conv2DIm2col are parameter-compatible, exact-math
+    relowerings of the native 2-D convs (TPU lane-padding fixes for the audio
+    pyramid; see layers.py docstrings).  Checked fwd AND grad vs nn.Conv with
+    identical params."""
+    import numpy as np
+    from flax import linen as nn
+
+    from mixstage_tpu.models.layers import _Conv2DIm2col, _Conv2DS2DFold
+
+    rng = np.random.default_rng(0)
+
+    # --- s2d fold vs k4 s2 pad1 conv ---
+    x = jnp.asarray(rng.normal(size=(2, 16, 32, 64)), jnp.float32)
+    fold = _Conv2DS2DFold(features=48)
+    v = fold.init(jax.random.key(0), x)
+    ref = nn.Conv(48, kernel_size=(4, 4), strides=(2, 2),
+                  padding=[(1, 1), (1, 1)])
+
+    def f_fold(p, x):
+        return jnp.sum(fold.apply({"params": p}, x) ** 2)
+
+    def f_ref(p, x):
+        return jnp.sum(ref.apply({"params": p}, x) ** 2)
+
+    p = v["params"]
+    np.testing.assert_allclose(
+        np.asarray(fold.apply(v, x)),
+        np.asarray(ref.apply({"params": p}, x)), rtol=2e-5, atol=2e-5)
+    ga = jax.grad(f_fold)(p, x)
+    gb = jax.grad(f_ref)(p, x)
+    for ka in ga:
+        np.testing.assert_allclose(np.asarray(ga[ka]), np.asarray(gb[ka]),
+                                   rtol=3e-4, atol=3e-3)
+
+    # --- im2col vs k3 s1 pad1 conv (grouped too) ---
+    for G in (1, 4):
+        xg = jnp.asarray(rng.normal(size=(2, 8, 16, 32)), jnp.float32)
+        im = _Conv2DIm2col(features=24 * G if G > 1 else 24,
+                           kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                           groups=G)
+        vi = im.init(jax.random.key(1), xg)
+        refi = nn.Conv(im.features, kernel_size=(3, 3),
+                       padding=[(1, 1), (1, 1)], feature_group_count=G)
+        np.testing.assert_allclose(
+            np.asarray(im.apply(vi, xg)),
+            np.asarray(refi.apply({"params": vi["params"]}, xg)),
+            rtol=2e-5, atol=2e-5)
+
+    # --- non-square kernel (conv7 is k=(3,8) pad=(1,3) shaped) ---
+    x7 = jnp.asarray(rng.normal(size=(2, 8, 15, 16)), jnp.float32)
+    im7 = _Conv2DIm2col(features=24, kernel_size=(3, 8),
+                        padding=((1, 1), (3, 3)))
+    v7 = im7.init(jax.random.key(2), x7)
+    ref7 = nn.Conv(24, kernel_size=(3, 8), padding=[(1, 1), (3, 3)])
+    np.testing.assert_allclose(
+        np.asarray(im7.apply(v7, x7)),
+        np.asarray(ref7.apply({"params": v7["params"]}, x7)),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_audio_encoder_lowering_plans_match_base():
+    """AudioEncoder with any lowering plan is math-identical to the native
+    plan (same params, fwd + grad) — the plans only change HOW XLA sees the
+    convs, never WHAT is computed.  Also: plans fall back to native convs on
+    odd/bucketed shapes (the sampling path)."""
+    import numpy as np
+
+    from mixstage_tpu.models.layers import AudioEncoder
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 128)), jnp.float32)
+
+    base = AudioEncoder(output_feats=16)
+    v = base.init(jax.random.key(0), x, train=False)
+    out0 = np.asarray(base.apply(v, x, train=False), np.float64)
+
+    def loss(enc, p):
+        y, _ = enc.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                         train=True, mutable=["batch_stats"])
+        return jnp.sum(y ** 2)
+
+    g0 = jax.grad(lambda p: loss(base, p))(v["params"])
+
+    plans = [
+        ("conv", "s2d", "conv", "s2d", "conv", "s2d", "conv", "conv"),
+        ("im2col", "s2d", "im2col", "s2d", "im2col", "s2d", "im2col", "im2col"),
+    ]
+    for plan in plans:
+        enc = AudioEncoder(output_feats=16, lowerings=plan)
+        out = np.asarray(enc.apply(v, x, train=False), np.float64)
+        np.testing.assert_allclose(out, out0, rtol=1e-4, atol=1e-4)
+        g = jax.grad(lambda p: loss(enc, p))(v["params"])
+        for path, a in jax.tree.leaves_with_path(g0):
+            b_ = jax.tree.leaves_with_path(g)
+            np.testing.assert_allclose(
+                np.asarray(dict(b_)[path]), np.asarray(a),
+                rtol=3e-3, atol=3e-3,
+                err_msg=f"grad mismatch at {path} for plan {plan}")
+
+    # odd interval length (sampling path) must still run: falls back to conv
+    x_odd = jnp.asarray(rng.normal(size=(2, 27, 128)), jnp.float32)
+    enc = AudioEncoder(output_feats=16, lowerings=plans[1])
+    v_odd = enc.init(jax.random.key(1), x_odd, train=False)
+    y = enc.apply(v_odd, x_odd, train=False)
+    assert y.shape == (2, 27, 256)  # time_steps=None resizes to input T

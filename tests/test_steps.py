@@ -376,3 +376,41 @@ def test_bf16_training_dynamics_bound(mixstage_factory, mixstage_state):
     assert level_gap < 0.02, (
         f"bf16 50-step mean pose-loss level diverged {level_gap:.2%} "
         f"(bound 2%)")
+
+
+def test_audio_lowering_flag_wired():
+    """-audio_lowering reaches the generator's AudioEncoder as a per-layer
+    plan (exact-math perf knob, layers.resolve_audio_lowerings); identical
+    params and outputs vs native, and a step runs."""
+    from mixstage_tpu.models.layers import (AUDIO_LOWERING_TPU,
+                                            resolve_audio_lowerings)
+
+    assert resolve_audio_lowerings(None) is None
+    assert resolve_audio_lowerings("native") is None
+    assert resolve_audio_lowerings("tpu") == AUDIO_LOWERING_TPU
+    assert resolve_audio_lowerings("conv,s2d,conv,s2d,conv,s2d,conv,im2col")[7] == "im2col"
+    try:
+        resolve_audio_lowerings("bogus,plan")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("bad plan must raise")
+
+    plan = "im2col,s2d,conv,s2d,conv,s2d,conv,conv"
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=False,
+                     criterion="L1Loss", num_clusters=4, num_speakers=2,
+                     audio_lowering=plan)
+    f = StepFactory(cfg, donate=False)
+    assert f.gen.audio_lowerings == resolve_audio_lowerings(plan)
+    cfg0 = StepConfig(model="JointLateClusterSoftStyle4_G", gan=False,
+                      criterion="L1Loss", num_clusters=4, num_speakers=2)
+    f0 = StepFactory(cfg0, donate=False)
+    batch = make_batch(cfg)
+    state = f.init(jax.random.key(0), batch)
+    state0 = f0.init(jax.random.key(0), batch)
+    # identical param pytree structure+shapes (checkpoint compatibility)
+    assert jax.tree.structure(state.g_params) == jax.tree.structure(state0.g_params)
+    _, losses, _ = f.make_steps()["train"](state, batch, jax.random.key(1))
+    _, losses0, _ = f0.make_steps()["train"](state0, batch, jax.random.key(1))
+    np.testing.assert_allclose(float(losses["total"]), float(losses0["total"]),
+                               rtol=1e-4)
