@@ -156,6 +156,13 @@ def audio_layer(long_name: str):
     return None
 
 
+# fwd conv GFLOPs per audio layer at bs32 (2*B*Ho*Wo*kh*kw*Cin*Cout);
+# fwd+bwd ≈ 3x (dW + dX, except L0's dX is unused).  For per-layer MFU.
+_AUDIO_GFLOP_FWD = {"L0": 0.302, "L1": 17.18, "L2": 9.66, "L3": 8.59,
+                    "L4": 9.66, "L5": 8.59, "L6": 4.83,
+                    "L5/6": 8.59 + 4.83, "L7": 12.08}
+
+
 def minor_dim_lt_128(long_name: str) -> bool:
     """True if the op's OUTPUT layout puts a <128 dim minor-most (half the
     v5e vector lanes idle; HBM tiles padded 2x)."""
@@ -171,6 +178,7 @@ def analyze(evs, n_steps: int):
     self_t, meta = self_times(evs)
     total = sum(d for d in self_t.values() if d > 0)
     sub = collections.Counter()
+    audio = collections.Counter()
     lane_waste = 0
     rows = []
     for n, d in self_t.items():
@@ -179,6 +187,8 @@ def analyze(evs, n_steps: int):
         ln = meta[n]["long_name"]
         c = classify(ln)
         sub[c] += d
+        if c == "audio2d":
+            audio[audio_layer(ln) or "unattributed"] += d
         if minor_dim_lt_128(ln):
             lane_waste += d
         per_exec = d / max(meta[n]["count"], 1)
@@ -197,6 +207,19 @@ def analyze(evs, n_steps: int):
                             for k, v in sub.most_common()},
         "lane_padded_ms_per_step": round(lane_waste / n_steps / 1e3, 4),
         "lane_padded_share": round(lane_waste / total, 3),
+        # per-audio-layer self time + bf16 MFU (fwd+bwd ≈ 3x fwd GFLOPs;
+        # v5e peak 197 TFLOP/s) — names the sink layers precisely
+        "_audio_attribution_note": (
+            "Layer buckets are attribution-blurred one layer leftward: a "
+            "dL/dx conv of layer i+1 OUTPUTS layer i's activation shape, so "
+            "it lands in bucket i.  MFU >100% in a bucket means its ops "
+            "borrowed from the neighbour; read pairs jointly."),
+        "audio_layer_us_per_step": {k: round(v / n_steps, 1)
+                                    for k, v in audio.most_common()},
+        "audio_layer_mfu_pct": {
+            k: round(100 * 3 * _AUDIO_GFLOP_FWD[k]
+                     / ((v / n_steps) * 1e-6) / 197e3, 1)
+            for k, v in audio.most_common() if k in _AUDIO_GFLOP_FWD},
         "top_ops": rows[:25],
     }
 
