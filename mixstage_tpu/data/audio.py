@@ -271,3 +271,30 @@ class Audio(Modality):
                         / f"{interval_id}.h5")
             self.append(filename, self.add_key(self.h5_key, [method]), processed)
         return None
+
+
+if __name__ == "__main__":
+    # Executable self-test (reference audio.py:189-198 runs its preprocessing
+    # main as an integration test): both DSP frontends on a synthetic chirp,
+    # plus numpy-vs-jittable log_mel_400 agreement.
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    y = (0.5 * np.sin(2 * np.pi * 440 * t * (1 + t / 4))).astype(np.float64)
+
+    m512 = log_mel_512(y, sr)
+    m400 = log_mel_400(y, sr)
+    print(f"log_mel_512: {m512.shape}, range [{m512.min():.2f}, {m512.max():.2f}]")
+    print(f"log_mel_400: {m400.shape}, range [{m400.min():.2f}, {m400.max():.2f}]")
+    assert m512.shape[1] == 128 and m400.shape[1] == 64
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    mj = np.asarray(log_mel_spectrogram_jax(y, sr))
+    dev = np.max(np.abs(mj - m400[: mj.shape[0]]))
+    print(f"jittable vs numpy log_mel_400: max |Δ| = {dev:.2e}")
+    assert dev < 1e-3, dev
+
+    vad = silence_vad(y, sr)
+    print(f"silence_vad: {vad.shape}, silent share {float(vad.mean()):.2f}")
+    print("Audio self-test OK")

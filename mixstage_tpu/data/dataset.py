@@ -731,3 +731,36 @@ class DataSample(Data):
                     if os.path.exists(self.getPath2file(i))]
         return [MiniData(self.getPath2file(i), style=self.getStyle(i),
                          **self.minidataKwargs) for i in existing]
+
+
+if __name__ == "__main__":
+    # Executable self-test, mirroring the reference's data-module smoke run
+    # (dataUtils.py:715-754: iterate every split, print batch shapes).  With
+    # no -path2data it bootstraps the synthetic PATS-contract fixture so the
+    # smoke test runs anywhere.
+    import argparse
+    import tempfile
+
+    ap = argparse.ArgumentParser(description="Data module self-test")
+    ap.add_argument("-path2data", default=None)
+    ap.add_argument("-speaker", nargs="+", default=None)
+    ap.add_argument("-batch_size", type=int, default=8)
+    ap.add_argument("-window_hop", type=int, default=5)
+    ns = ap.parse_args()
+    if ns.path2data is None:
+        from mixstage_tpu.data.synthetic import make_synthetic_dataset
+        ns.path2data = tempfile.mkdtemp(prefix="pats_selftest_")
+        ns.speaker = ns.speaker or ["oliver", "maher"]
+        make_synthetic_dataset(ns.path2data, ns.speaker, 3)
+        print(f"synthetic fixture -> {ns.path2data}")
+    data = Data(ns.path2data, ns.speaker or ["oliver"],
+                batch_size=ns.batch_size, window_hop=ns.window_hop)
+    for desc, loader in (("train", data.train), ("dev", data.dev),
+                         ("test", data.test)):
+        for i, batch in enumerate(loader):
+            shapes = {k: tuple(np.shape(v)) for k, v in batch.items()
+                      if hasattr(v, "shape") or isinstance(v, np.ndarray)}
+            print(f"{desc}[{i}]: {shapes}")
+            if i >= 1:
+                break
+    print("Data self-test OK")

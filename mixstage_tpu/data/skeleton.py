@@ -192,3 +192,32 @@ class Skeleton2D(Modality):
             return None
         files = sorted(os.listdir(path2keypoints))
         return [str(path2keypoints / f) for f in files]
+
+
+if __name__ == "__main__":
+    # Executable self-test (reference skeleton.py:302-311 runs its
+    # preprocessing main): kinematic-tree invariants + round-trip of the
+    # root-relative encoding + shoulder normalization on synthetic poses.
+    assert len(PARENTS) == len(JOINT_NAMES) == NUM_JOINTS == 52
+    assert PARENTS[0] == -1 and all(0 <= p < 52 for p in PARENTS[1:])
+    # every chain terminates at the root (no cycles)
+    for j in range(NUM_JOINTS):
+        seen, p = set(), j
+        while p != -1:
+            assert p not in seen, f"cycle at joint {j}"
+            seen.add(p)
+            p = PARENTS[p]
+
+    rng = np.random.default_rng(0)
+    kp = rng.normal(size=(16, 2, NUM_JOINTS)) * 50 + 300
+    rel = Skeleton2D.process_keypoints(kp)
+    back = Skeleton2D.process_keypoints(rel, inv=True)
+    dev = np.max(np.abs(back - kp))
+    print(f"root-relative round-trip: max |Δ| = {dev:.2e}")
+    assert dev < 1e-12
+
+    norm = Skeleton2D.normalize_shoulder(rel.copy())
+    sh = np.sqrt((norm.reshape(norm.shape[0], 2, -1)[..., 1] ** 2).sum(1))
+    print(f"shoulder length after normalize: {sh.min():.2f}..{sh.max():.2f}")
+    assert np.allclose(sh, REF_SHOULDER_LEN, rtol=1e-6)
+    print("Skeleton self-test OK")

@@ -357,3 +357,36 @@ class RemoveJoints:
 
     def __repr__(self):
         return f"RemoveJoints(mask={self.mask})"
+
+
+if __name__ == "__main__":
+    # Executable self-test (reference transform.py:513-521): ZNorm computed
+    # on DummyData must produce mean≈0 / std≈1.
+    import tempfile
+
+    from mixstage_tpu.data.dataset import DummyData
+
+    class _Loader:
+        """iter_all adapter over DummyData for ZNorm's streaming stats."""
+
+        def __init__(self, dummy):
+            self.dummy = dummy
+
+        def iter_all(self, batch_size=32):
+            for s in range(0, len(self.dummy), batch_size):
+                idx = list(range(s, min(s + batch_size, len(self.dummy))))
+                items = [self.dummy[i] for i in idx]
+                yield {v: np.stack([it[v] for it in items])
+                       for v in self.dummy.variable_list}
+
+    dummy = DummyData(variable_list=["pose", "audio"], length=500, random=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        znorm = ZNorm(["pose", "audio"], savepath=tmp, key="dummy",
+                      data=_Loader(dummy))
+        batch = next(_Loader(dummy).iter_all(batch_size=500))
+        out = znorm(batch)
+        for v in ("pose", "audio"):
+            m, s = float(np.mean(out[v])), float(np.std(out[v]))
+            print(f"{v}: mean={m:+.4f} std={s:.4f}")
+            assert abs(m) < 1e-6 and abs(s - 1) < 1e-2, (v, m, s)
+    print("ZNorm self-test OK")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import sys
 import pickle as pkl
 import time
 from functools import partial
@@ -379,6 +380,7 @@ class Trainer:
                 if np.ndim(v) == 0:
                     running[k] = running.get(k, 0.0) + float(v) * B
             running_count += B
+            self._nan_guard(float(losses["total"]), f"{desc} step {count}")
 
             # weighted-GAN sampler feedback (trainer.py:622-625)
             if desc == "train" and self.args.weighted and "W" in losses:
@@ -774,6 +776,7 @@ class Trainer:
             timer.stop()
             B = batches[0]["y"].shape[0]
             totals = np.asarray(losses["total"])
+            self._nan_guard(totals, f"train scan chunk (k={k})")
             for i, (batch, sb, y_) in enumerate(pend):
                 for key in losses:
                     v = np.asarray(losses[key][i])
@@ -822,6 +825,28 @@ class Trainer:
         metrics.update(timer.summary(prefix=""))
         return loss_avg, metrics, metrics_split
 
+    def _nan_guard(self, total, where: str):
+        """NaN-loss tripwire (reference trainer.py:642-643 drops into pdb).
+
+        TPU adaptation: the loss lands host-side after the jitted step, so
+        the guard runs here, not in the graph.  Interactive pdb only when
+        the reference's debug affordance applies (a tty + -debug); headless
+        runs get a loud FloatingPointError with the JAX_DEBUG_NANS pointer
+        instead of a hung prompt.
+        """
+        if not np.isnan(total).any():
+            return
+        msg = (f"NaN train loss at {where} "
+               f"(epoch counter {int(self.state.epoch_counter) if hasattr(self.state, 'epoch_counter') else '?'}). "
+               "Re-run with JAX_DEBUG_NANS=1 (or jax.config.update("
+               "'jax_debug_nans', True)) to trap the originating op.")
+        self.book.log(msg)
+        if self.args.debug and sys.stdin.isatty():
+            import pdb
+            pdb.set_trace()
+        else:
+            raise FloatingPointError(msg)
+
     def _one_train_step(self, batch, step_batch, y_, running, epoch):
         """Single per-step dispatch (shared by the scan loop's fallbacks)."""
         B = step_batch["y"].shape[0]
@@ -836,6 +861,7 @@ class Trainer:
         for key, v in losses.items():
             if np.ndim(v) == 0:
                 running[key] = running.get(key, 0.0) + float(v) * B
+        self._nan_guard(float(losses["total"]), "train step (scan fallback)")
         if self.args.weighted and "W" in losses:
             self._weighted_feedback(batch, losses["W"])
         if not self.step_cfg.is_classifier:

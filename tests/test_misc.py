@@ -362,3 +362,44 @@ def test_update_tb_writes_scalars(tmp_path):
     book0 = _book(tmp_path / "no_tb", tb=0)
     book0.update_tb({"scalar": [["m/train", 1.5, 0]]})
     assert not hasattr(book0, "_writer")
+
+
+def test_nan_guard_raises_headless_and_passes_finite():
+    """NaN-loss tripwire (reference trainer.py:642-643): finite losses pass,
+    a NaN total raises FloatingPointError with the JAX_DEBUG_NANS pointer
+    when headless (pdb only on a tty with -debug)."""
+    import numpy as np
+
+    from mixstage_tpu.train.trainer import Trainer
+
+    class _Book:
+        def __init__(self):
+            self.logged = []
+
+        def log(self, msg):
+            self.logged.append(msg)
+
+    class _Args:
+        debug = 0
+
+    class _Stub:
+        args = _Args()
+        book = _Book()
+        state = None
+
+    stub = _Stub()
+    Trainer._nan_guard(stub, 1.25, "train step 0")          # finite: no-op
+    Trainer._nan_guard(stub, np.ones(4), "scan chunk")      # finite array
+    try:
+        Trainer._nan_guard(stub, float("nan"), "train step 3")
+    except FloatingPointError as e:
+        assert "JAX_DEBUG_NANS" in str(e) and "train step 3" in str(e)
+    else:
+        raise AssertionError("NaN total must raise headless")
+    assert stub.book.logged and "NaN train loss" in stub.book.logged[0]
+    try:
+        Trainer._nan_guard(stub, np.array([0.0, np.nan]), "scan chunk (k=2)")
+    except FloatingPointError:
+        pass
+    else:
+        raise AssertionError("NaN in a scan-chunk vector must raise")
