@@ -514,3 +514,43 @@ class Text(Modality):
         assignments = distribute_frames_over_subwords(words, delta, flat_toks)
         return _expand_subwords(np.asarray(flat_ids, dtype=float)[:, None],
                                 assignments, starts, ends, num_frames)[:, 0]
+
+
+if __name__ == "__main__":
+    # Executable self-test (reference text.py:574-585 runs its preprocessing
+    # main; heavy embedders are dep-gated here, so this exercises the pure
+    # text machinery): subword frame distribution, expansion, padding
+    # collate, and the pytables-free text/meta round-trip.
+    import tempfile
+
+    words = ["hello", "gesturing", "world"]
+    delta = [10, 7, 3]
+    toks = ["hello", "ges", "##tur", "##ing", "world"]
+    assign = distribute_frames_over_subwords(words, delta, toks)
+    print(f"subword assignment: {assign}")
+    assert [a for a, _ in assign] == [0, 1, 1, 1, 2]
+    assert sum(n for _, n in assign) == sum(delta)
+    # per-word frame conservation
+    for wi, d in enumerate(delta):
+        assert sum(n for a, n in assign if a == wi) == d
+
+    vecs = np.eye(5, 4)
+    out = _expand_subwords(vecs, assign, starts=[0, 10, 17], ends=[10, 17, 20],
+                           num_frames=20)
+    assert out.shape == (20, 4) and np.abs(out).sum() > 0
+
+    batch = [{"text/bert": np.ones((3, 8)), "idx": 0},
+             {"text/bert": np.ones((5, 8)), "idx": 1}]
+    coll = collate_fn_pad(batch, pad_key=["text/bert"])
+    assert coll["text/bert"].shape == (2, 5, 8)
+    assert coll["text/token_count"].tolist() == [3, 5]
+
+    meta = pd.DataFrame({"Word": ["a", "b"], "start_frame": [0, 5],
+                         "end_frame": [5, 9]})
+    with tempfile.TemporaryDirectory() as tmp:
+        fn = f"{tmp}/meta.h5"
+        write_text_meta(fn, meta)
+        back = read_text_meta(fn)
+        assert list(back["Word"]) == ["a", "b"]
+        assert list(back["end_frame"]) == [5, 9]
+    print("Text self-test OK")
