@@ -403,3 +403,62 @@ def test_nan_guard_raises_headless_and_passes_finite():
         pass
     else:
         raise AssertionError("NaN in a scan-chunk vector must raise")
+
+
+def test_module_selftests_run():
+    """The executable module self-tests (SURVEY §4 mechanism 1: reference
+    data modules double as __main__ smoke tests) keep passing.  Only the
+    jax-free ones run here (skeleton/transforms/text); dataset and audio
+    mains are exercised manually (they pull in a jax backend)."""
+    import subprocess
+    import sys
+
+    for mod in ("mixstage_tpu.data.skeleton", "mixstage_tpu.data.transforms",
+                "mixstage_tpu.data.text"):
+        proc = subprocess.run([sys.executable, "-m", mod],
+                              capture_output=True, text=True, timeout=240)
+        assert proc.returncode == 0, (mod, proc.stdout[-2000:],
+                                      proc.stderr[-2000:])
+        assert "self-test OK" in proc.stdout, (mod, proc.stdout[-500:])
+
+
+def test_trace_profile_self_times_nesting():
+    """trace_profile.self_times subtracts nested children per event and
+    aggregates by name (the per-subsystem step breakdown rests on this)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "trace_profile",
+        Path(__file__).parent.parent / "benchmarks" / "trace_profile.py")
+    tp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tp)
+
+    # parent [0,100) with children [10,30) and [40,50); one sibling [200,220)
+    evs = [
+        {"ts": 0, "dur": 100, "name": "parent", "args": {}},
+        {"ts": 10, "dur": 20, "name": "child", "args": {}},
+        {"ts": 40, "dur": 10, "name": "child", "args": {}},
+        {"ts": 200, "dur": 20, "name": "sibling", "args": {}},
+    ]
+    self_t, meta = tp.self_times(evs)
+    assert self_t["parent"] == 70       # 100 - 20 - 10
+    assert self_t["child"] == 30
+    assert self_t["sibling"] == 20
+    assert meta["child"]["count"] == 2
+
+    # same name at two nesting depths must not go negative
+    evs2 = [
+        {"ts": 0, "dur": 50, "name": "op", "args": {}},
+        {"ts": 5, "dur": 40, "name": "op", "args": {}},
+    ]
+    self_t2, _ = tp.self_times(evs2)
+    assert self_t2["op"] == 50          # 10 (outer) + 40 (inner)
+
+    # subsystem classifier + audio-layer attribution on long names
+    ln_dec = "f32[3,266,8,256]{3,2,1,0} fusion(...)"
+    assert tp.classify(ln_dec) == "decoder"
+    ln_audio = "bf16[32,32,64,64]{3,2,1,0} convolution(bf16[32,64,128,64]{3,2,1,0} %p, bf16[4,4,64,64]{3,2,1,0} %w)"
+    assert tp.classify(ln_audio) == "audio2d"
+    assert tp.audio_layer(ln_audio) == "L1"   # kernel shape wins
+    assert tp.minor_dim_lt_128(ln_audio)      # minor dim 64 < 128
