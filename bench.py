@@ -36,6 +36,37 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def tpu_preflight(max_tries: int = 3, timeout_s: int = 150) -> bool:
+    """Bounded device probe.  The axon tunnel can go hard-down, in which case
+    jax backend init (and any first computation) hangs *indefinitely* rather
+    than erroring — observed 2026-08-17.  Probing in a subprocess with a
+    timeout is the only reliable bound; in-process SIGALRM may never fire if
+    the init is stuck in foreign code.  Returns True when a trivial matmul
+    round-trips; retries with backoff so a transient tunnel blip survives."""
+    import subprocess
+
+    code = ("import jax, numpy as np; x = jax.numpy.ones((8, 8)); "
+            "print(float(np.asarray((x @ x).sum())))")
+    for attempt in range(1, max_tries + 1):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True,
+                               text=True)
+            if r.returncode == 0:
+                log(f"preflight ok in {time.perf_counter() - t0:.1f}s "
+                    f"(attempt {attempt})")
+                return True
+            log(f"preflight attempt {attempt} rc={r.returncode}: "
+                f"{r.stderr.strip()[-300:]}")
+        except subprocess.TimeoutExpired:
+            log(f"preflight attempt {attempt} timed out after {timeout_s}s "
+                "(device backend hang)")
+        if attempt < max_tries:
+            time.sleep(30)
+    return False
+
+
 def fetch(x) -> float:
     """Force a host round-trip on a device scalar (the only true sync)."""
     return float(np.asarray(x))
@@ -170,6 +201,22 @@ def bench_sampling():
 
 
 def main():
+    if not tpu_preflight():
+        # The device backend is unreachable: emit an honest, parseable
+        # failure record instead of hanging the driver.  Last good numbers
+        # remain in BENCH_r02.json; nothing here is fabricated.
+        print(json.dumps({
+            "metric": "mixstage_gan_train_pose_frames_per_sec_per_chip_bs32",
+            "value": 0.0,
+            "unit": "frames/s/chip",
+            "vs_baseline": 0.0,
+            "extras": {
+                "error": "tpu_backend_unreachable: backend init/first matmul "
+                         "hung past the preflight bound on 3 attempts; see "
+                         "stderr.  Last good driver run: BENCH_r02.json."},
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
