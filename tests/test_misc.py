@@ -462,3 +462,42 @@ def test_trace_profile_self_times_nesting():
     assert tp.classify(ln_audio) == "audio2d"
     assert tp.audio_layer(ln_audio) == "L1"   # kernel shape wins
     assert tp.minor_dim_lt_128(ln_audio)      # minor dim 64 < 128
+
+
+def test_bench_tpu_preflight_paths(monkeypatch):
+    """bench.tpu_preflight: bounded probe, honest rc on timeout/failure.
+
+    The axon tunnel can hang jax backend init indefinitely (observed
+    2026-08-17); bench.py must terminate with a parseable failure record
+    instead of hanging the driver.  Stub the subprocess so the test never
+    touches a real backend."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+
+    calls = {"n": 0}
+
+    class _Ok:
+        returncode = 0
+        stderr = ""
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Ok())
+    assert bench.tpu_preflight(max_tries=1, timeout_s=1) is True
+
+    def _hang(*a, **k):
+        calls["n"] += 1
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", _hang)
+    assert bench.tpu_preflight(max_tries=3, timeout_s=1) is False
+    assert calls["n"] == 3  # all retries consumed before giving up
+
+    class _Err:
+        returncode = 1
+        stderr = "RPC deadline exceeded"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Err())
+    assert bench.tpu_preflight(max_tries=2, timeout_s=1) is False
