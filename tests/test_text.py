@@ -56,14 +56,20 @@ def test_not_aligned_bootstraps_text_meta(raw_synth):
 
 @pytest.mark.slow
 def test_aligned_path_reuses_bootstrapped_meta(raw_synth):
-    # after the not-aligned pass wrote text/meta, the aligned path must work
+    # after the not-aligned pass wrote text/meta, the aligned path must work.
+    # Self-sufficient (bootstraps its own meta, on the speaker the fast-tier
+    # test does NOT touch) so it passes when the slow tier runs alone.
+    boot = Text(path2data=raw_synth, path2outdata=raw_synth,
+                speaker=["maher"], preprocess_methods=["pos"],
+                text_aligned=0)
+    boot.preprocess()
     text = Text(path2data=raw_synth, path2outdata=raw_synth,
-                speaker=["oliver"], preprocess_methods=["tokens"],
+                speaker=["maher"], preprocess_methods=["tokens"],
                 text_aligned=1)
     text.preprocess()
-    df_sp = text.get_df_subset("speaker", "oliver")
+    df_sp = text.get_df_subset("speaker", "maher")
     interval_id = df_sp["interval_id"].iloc[0]
-    fn = f"{raw_synth}/processed/oliver/{interval_id}.h5"
+    fn = f"{raw_synth}/processed/maher/{interval_id}.h5"
     toks = HDF5.load_array(fn, "text/tokens")
     assert toks.shape == (HDF5.load_array(fn, "pose/data").shape[0],)
 

@@ -150,18 +150,16 @@ def test_fused_g_step_matches_flax_g_step():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
                                rtol=1e-3, atol=1e-4)
-    for kp_leaf0, leaf1 in zip(
-            jax.tree_util.tree_flatten_with_path(s0.params)[0],
-            jax.tree.flatten(s1.params)[0]):
-        kp, leaf0 = kp_leaf0
-        err = np.abs(np.asarray(leaf1) - np.asarray(leaf0)).max()
-        assert err < 5e-4, f"param divergence at {jax.tree_util.keystr(kp)}: {err:.2e}"
-    for kp_leaf0, leaf1 in zip(
-            jax.tree_util.tree_flatten_with_path(s0.model_state)[0],
-            jax.tree.flatten(s1.model_state)[0]):
-        kp, leaf0 = kp_leaf0
-        err = np.abs(np.asarray(leaf1) - np.asarray(leaf0)).max()
-        assert err < 5e-4, f"bn-stat divergence at {jax.tree_util.keystr(kp)}: {err:.2e}"
+    for tree0, tree1, what, tol in ((s0.g_params, s1.g_params, "param", 5e-4),
+                                    (s0.g_state, s1.g_state, "bn-stat", 5e-4)):
+        flat0, treedef0 = jax.tree_util.tree_flatten_with_path(tree0)
+        flat1, treedef1 = jax.tree.flatten(tree1)
+        assert treedef0.num_leaves == treedef1.num_leaves
+        for (kp, leaf0), leaf1 in zip(flat0, flat1):
+            err = np.abs(np.asarray(leaf1, np.float64)
+                         - np.asarray(leaf0, np.float64)).max()
+            assert err < tol, (f"{what} divergence at "
+                               f"{jax.tree_util.keystr(kp)}: {err:.2e}")
 
 
 @pytest.mark.tpu
