@@ -40,7 +40,7 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("shuffle", int, 1, "reshuffle each epoch"),
     ("time", float, 4.3, "seconds per sample window"),
     ("fs_new", _E, [15, 15], "new sampling frequency per modality"),
-    ("num_workers", int, 0, "dataloader workers"),
+    ("num_workers", int, 1, "prefetch pipeline worker threads (order-preserving)"),
     ("window_hop", int, 0, "window hop in pose frames; 0 = non-overlapping"),
     ("num_clusters", int, None, "number of pose clusters (M sub-generators)"),
     ("pos", int, 0, "use POS tags as cluster labels"),

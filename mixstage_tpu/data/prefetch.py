@@ -22,9 +22,48 @@ class _Sentinel:
 _DONE = _Sentinel()
 
 
-def prefetch(iterable: Iterable, prepare: Callable, depth: int = 2) -> Iterator:
+def prefetch(iterable: Iterable, prepare: Callable, depth: int = 2,
+             workers: int = 1) -> Iterator:
     """Yield ``prepare(item)`` for items of ``iterable``, prepared ``depth``
-    items ahead in a daemon thread.  Exceptions propagate to the consumer."""
+    items ahead in a daemon thread.  Exceptions propagate to the consumer.
+
+    ``workers > 1`` prepares batches in an order-preserving thread pool —
+    h5py reads and the numpy transform math release the GIL, so on a
+    multi-core TPU-VM host the pipeline throughput scales with workers
+    (the torch reference's ``-num_workers`` DataLoader knob, which its
+    trainer declares but never uses — argsUtils.py vs trainer.py; here it
+    feeds this argument).  Results are yielded strictly in input order, so
+    training dynamics are identical for any worker count.
+    """
+    if workers > 1:
+        return _prefetch_pool(iterable, prepare, depth, workers)
+    return _prefetch_thread(iterable, prepare, depth)
+
+
+def _prefetch_pool(iterable, prepare, depth, workers) -> Iterator:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def gen():
+        from collections import deque
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs: deque = deque()
+            it = iter(iterable)
+            exhausted = False
+            while True:
+                while not exhausted and len(futs) < depth + workers:
+                    try:
+                        futs.append(ex.submit(prepare, next(it)))
+                    except StopIteration:
+                        exhausted = True
+                if not futs:
+                    return
+                yield futs.popleft().result()  # raises the worker's exception
+
+    return gen()
+
+
+def _prefetch_thread(iterable, prepare, depth) -> Iterator:
     q: "queue.Queue" = queue.Queue(maxsize=depth)
 
     def worker():

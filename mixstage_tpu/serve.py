@@ -131,12 +131,20 @@ def folded_decoder_xla(x, fd, groups: int, negative_slope: float = 0.2):
 
 
 def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
-                     batch_tile: int = 16):
+                     batch_tile: int = 16, mesh=None):
     """Jitted ``(audio (B, T, mel), style_ids (B,)) -> pose (B, T, F)``.
 
     Weights are passed as explicit jit arguments (NOT closures) — closing over
     the ~25 MB of folded weights bakes them in as executable constants, which
     costs ~30 ms of per-call sync latency through the device transport.
+
+    ``mesh``: a ``jax.sharding.Mesh`` for multi-chip data-parallel serving —
+    weights replicated, the batch sharded over the mesh's first axis via
+    ``jax.shard_map`` (each chip serves its batch shard; inference is
+    embarrassingly parallel, zero collectives in the graph).  shard_map
+    rather than bare GSPMD because the Pallas decoder kernel is a custom
+    call XLA's partitioner cannot split; under shard_map it runs per-device
+    on the local shard.  The batch size must divide the mesh axis size.
     """
     cfg = factory.cfg
     if use_pallas is None:
@@ -155,8 +163,7 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
     G = cfg.num_clusters
     C0p = fd["w0"].shape[2]
 
-    @jax.jit
-    def serve(gen_params, gen_bstats, fd, fc, audio, style_ids):
+    def serve_body(gen_params, gen_bstats, fd, fc, audio, style_ids):
         B, T = audio.shape[0], audio.shape[1]
         sw = jax.nn.one_hot(style_ids, cfg.num_speakers,
                             dtype=audio.dtype)[:, None, :].repeat(T, axis=1)
@@ -183,8 +190,29 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
             logits = folded_decoder_xla(x, {**fd, "c0": c0}, G)
         return index_select_outputs(logits, soft, G)
 
-    fn = lambda audio, style_ids: serve(gen_params, gen_bstats, fd, fc,  # noqa: E731
-                                        audio, style_ids)
+    if mesh is None:
+        serve = jax.jit(serve_body)
+        fn = lambda audio, style_ids: serve(gen_params, gen_bstats, fd, fc,  # noqa: E731
+                                            audio, style_ids)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+        repl = NamedSharding(mesh, P())
+        gen_params, gen_bstats, fd, fc = jax.device_put(
+            (gen_params, gen_bstats, fd, fc), repl)
+        serve = jax.jit(jax.shard_map(
+            serve_body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
+            out_specs=P(axis)))
+
+        def fn(audio, style_ids):
+            assert audio.shape[0] % n == 0, (
+                f"DP serving: batch {audio.shape[0]} must divide the "
+                f"{n}-device '{axis}' mesh axis")
+            return serve(gen_params, gen_bstats, fd, fc, audio, style_ids)
+
     # expose the jitted inner fn + bound weights for cost analysis (bench.py)
     fn.jitted = serve
     fn.bound_args = (gen_params, gen_bstats, fd, fc)

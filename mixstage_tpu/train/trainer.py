@@ -347,7 +347,8 @@ class Trainer:
         # overlap host batch prep + device_put with device compute
         prepared = prefetch(data,
                             lambda b: (b, self.get_processed_batch(b)),
-                            depth=2 if not self._scan_k else self._scan_k + 2)
+                            depth=2 if not self._scan_k else self._scan_k + 2,
+                            workers=max(1, int(self.args.num_workers)))
         if desc == "train" and self._scan_step is not None:
             return self._train_loop_scan(prepared, desc, epoch, timer,
                                          profile_ctx, running, running_count,

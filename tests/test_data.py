@@ -208,3 +208,40 @@ def test_quantile_sampler_kinds(synth):
     assert len(d_reb.train.sampler) > 0
     idx = list(iter(d_reb.train.sampler))
     assert max(idx) < n_total
+
+
+def test_prefetch_pool_order_and_exceptions():
+    """workers>1 prefetch must preserve input order exactly (training
+    dynamics identical for any worker count) and forward worker
+    exceptions; wired to the reference's -num_workers flag (declared
+    upstream at argsUtils.py:33 but never consumed by its trainer)."""
+    import time as _time
+
+    from mixstage_tpu.data.prefetch import prefetch
+
+    def slow_square(x):
+        _time.sleep(0.02 if x % 3 == 0 else 0.001)  # out-of-order completion
+        return x * x
+
+    items = list(range(40))
+    for workers in (1, 4):
+        out = list(prefetch(items, slow_square, depth=2, workers=workers))
+        assert out == [x * x for x in items], f"order broken at workers={workers}"
+
+    def boom(x):
+        if x == 5:
+            raise ValueError("boom at 5")
+        return x
+
+    import pytest as _pytest
+    for workers in (1, 4):
+        with _pytest.raises(ValueError, match="boom at 5"):
+            list(prefetch(items, boom, depth=2, workers=workers))
+    # items before the failure still arrive, in order
+    got = []
+    try:
+        for v in prefetch(items, boom, depth=1, workers=4):
+            got.append(v)
+    except ValueError:
+        pass
+    assert got == list(range(5))

@@ -164,3 +164,41 @@ def test_ep_mixture_decoder_sharding_exact():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_dp_serving_matches_single_device():
+    """Mesh-sharded serving (build_serving_fn(mesh=...)) must produce the
+    same poses as the single-device path: inference is per-sample
+    independent, so sharding the batch over the data axis is bitwise-neutral
+    (weights replicated, zero collectives in the graph)."""
+    from mixstage_tpu.serve import build_serving_fn
+
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=4, num_speakers=2)
+    factory = StepFactory(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    B, T = 16, 64
+    batch = {
+        "x": (rng.normal(size=(B, T, 128)).astype(np.float32),),
+        "y": rng.normal(size=(B, T, 96)).astype(np.float32),
+        "labels": rng.integers(0, 4, size=(B, T)).astype(np.int32),
+        "style": np.repeat(rng.integers(0, 2, size=(B, 1)), T, 1).astype(np.int32),
+    }
+    state = factory.init(jax.random.key(0), batch)
+    audio = np.asarray(batch["x"][0])
+    styles = np.zeros((B,), np.int32)
+
+    serve1 = build_serving_fn(factory, state, use_pallas=False)
+    serve8 = build_serving_fn(factory, state, use_pallas=False,
+                              mesh=make_mesh(8))
+    out1 = np.asarray(serve1(audio, styles))
+    out8 = np.asarray(serve8(audio, styles))
+    assert out8.shape == out1.shape == (B, T, 96)
+    np.testing.assert_allclose(out8, out1, rtol=0, atol=1e-6)
+    # per-device shards actually cover distinct batch rows
+    shards = serve8(audio, styles).addressable_shards
+    assert len({s.index[0].start for s in shards}) == 8
+
+    # non-divisible batch rejected loudly, not silently mis-sharded
+    with pytest.raises(AssertionError, match="must divide"):
+        serve8(audio[:3], styles[:3])
