@@ -132,7 +132,9 @@ class ZNorm:
         mu, var = muvar
         std = np.sqrt(var * (var >= 0))
         std = np.where(std == 0, self.eps, std)
-        return (x - mu) / std
+        # multiply by the reciprocal: one fewer full-batch division on the
+        # hot host path (std is a (1, 1, F) vector; x is the whole batch)
+        return (x - mu) * (1.0 / std)
 
     def inv_znorm(self, x, muvar):
         mu, var = muvar
@@ -207,30 +209,37 @@ class KMeansTransform:
         self.centers = np.asarray(self.centers, np.float64)
 
     def get_feats(self, x: np.ndarray) -> np.ndarray:
-        """Feature construction per configured kinds (transform.py:352-379)."""
-        pose_list = []
-        for feat in self.feats:
+        """Feature construction per configured kinds (transform.py:352-379).
+
+        Each feature block is written straight into one preallocated output
+        (no zero-fill pass, no concatenate copy) — this runs per batch on
+        the host hot path (see benchmarks/input_pipeline.py)."""
+        F = x.shape[-1]
+        widths = [F // 2 if f == "speed" else F for f in self.feats]
+        out = np.empty(x.shape[:-1] + (sum(widths),), x.dtype)
+        ofs = 0
+        for feat, w in zip(self.feats, widths):
+            dst = out[..., ofs:ofs + w]
+            ofs += w
             if feat == "pose":
-                pose_list.append(x)
+                dst[...] = x
             elif feat == "velocity":
-                v = np.zeros_like(x)
-                v[:, 1:, :] = x[:, 1:] - x[:, :-1]
-                pose_list.append(v)
+                dst[:, :1] = 0
+                np.subtract(x[:, 1:], x[:, :-1], out=dst[:, 1:])
             elif feat == "speed":
                 v = np.zeros_like(x)
                 v[:, 1:, :] = x[:, 1:] - x[:, :-1]
                 v = v.reshape(v.shape[0], v.shape[1], 2, -1)
-                pose_list.append(np.sqrt((v ** 2).sum(axis=-2)))
+                dst[...] = np.sqrt((v ** 2).sum(axis=-2))
             elif feat == "acceleration":
-                v = np.zeros_like(x)
-                v[:, 1:, :] = x[:, 1:] - x[:, :-1]
-                a = np.zeros_like(x)
-                a[:, 1:, :] = v[:, 1:] - v[:, :-1]
-                pose_list.append(a)
+                # a[1] = v[1] - v[0] = v[1]; a[t>=2] = x[t] - 2x[t-1] + x[t-2]
+                dst[:, :1] = 0
+                np.subtract(x[:, 1:], x[:, :-1], out=dst[:, 1:])
+                dst[:, 2:] -= dst[:, 1:-1].copy()
             elif feat == "spatial":
                 mean = self.variable_dict[self.output_modality][0][:, :, 8:]
-                pose_list.append(x - mean)
-        return np.concatenate(pose_list, axis=-1)
+                np.subtract(x, mean, out=dst)
+        return out
 
     def _fit(self) -> np.ndarray:
         import sklearn.cluster
@@ -246,13 +255,28 @@ class KMeansTransform:
 
     def predict(self, x: np.ndarray, soft_labels: bool = False):
         """Hard (or softmax-of-negative-mse) cluster labels
-        (transform.py:395-410)."""
+        (transform.py:395-410).
+
+        Same math as the reference's broadcast form ``((c - x)**2).sum(-1)``
+        regrouped as ``||x||^2 - 2 x.c + ||c||^2`` so the (N, F) x (F, M)
+        contraction runs as one BLAS GEMM instead of materializing the
+        (N, M, F) fp64 difference tensor — this is the hottest op of the
+        host batch path (79% of get_processed_batch before the regroup; see
+        benchmarks/input_pipeline.py).  Equality with the broadcast form is
+        pinned by tests/test_transforms.py::test_kmeans_gemm_matches_broadcast.
+        """
         x = np.asarray(x, np.float64)
         x = self.get_feats(x)
         x_shape = list(x.shape)
-        flat = x.reshape(-1, 1, x_shape[-1])
-        mse = ((self.centers[None] - flat) ** 2).sum(axis=-1)  # (N, M)
+        flat = x.reshape(-1, x_shape[-1])
+        # -2 x.c + ||c||^2  (the per-row ||x||^2 shifts every column equally)
+        mse = flat @ (-2.0 * self.centers.T)
+        mse += (self.centers ** 2).sum(-1)[None]
         if soft_labels:
+            # the softmax temperature divides by the row mean of the TRUE
+            # mse, so the per-row ||x||^2 term matters here
+            mse += (flat ** 2).sum(-1, keepdims=True)
+            np.maximum(mse, 0.0, out=mse)  # clip fp regrouping residue
             z = -mse / mse.mean(-1, keepdims=True)
             z = z - z.max(-1, keepdims=True)
             p = np.exp(z)

@@ -97,6 +97,72 @@ def test_kmeans_cache_key_and_labels(data, tmp_path):
     np.testing.assert_allclose(soft.sum(-1), 1.0, rtol=1e-5)
 
 
+def test_kmeans_gemm_matches_broadcast(data, tmp_path):
+    """predict() computes ||x-c||^2 regrouped as one BLAS GEMM
+    (||x||^2 - 2x.c + ||c||^2); hard labels and soft probabilities must
+    match the reference's naive broadcast form (transform.py:395-410)
+    exactly / to fp64 regrouping tolerance."""
+    km = KMeansTransform(["pose/data"], savepath=str(tmp_path / "kmeans"),
+                         key=["oliver", "maher"], data=data.train,
+                         num_clusters=4, mask=[0, 7, 8, 9], verbose=False)
+    rj = RemoveJoints([0, 7, 8, 9])
+    rng = np.random.default_rng(3)
+    x = rj(np.asarray(next(iter(data.train))["pose/data"]))
+    # include far-outlier rows (large ||x||^2 stresses the regrouping)
+    x = np.concatenate([x, rng.normal(scale=50.0, size=x[:1].shape)], 0)
+
+    f = km.get_feats(np.asarray(x, np.float64))
+    flat = f.reshape(-1, 1, f.shape[-1])
+    mse_ref = ((km.centers[None] - flat) ** 2).sum(axis=-1)
+    labels_ref = mse_ref.argmin(-1).reshape(f.shape[:-1])
+    np.testing.assert_array_equal(km.predict(x), labels_ref)
+
+    z = -mse_ref / mse_ref.mean(-1, keepdims=True)
+    z = z - z.max(-1, keepdims=True)
+    p_ref = np.exp(z)
+    p_ref /= p_ref.sum(-1, keepdims=True)
+    np.testing.assert_allclose(
+        km.predict(x, soft_labels=True),
+        p_ref.reshape(list(f.shape[:-1]) + [km.centers.shape[0]]),
+        rtol=1e-9, atol=1e-12)
+
+
+def test_kmeans_get_feats_matches_naive(data, tmp_path):
+    """get_feats writes feature blocks into one preallocated buffer; every
+    kind must equal the reference's append-then-concatenate construction
+    (transform.py:352-379)."""
+    km = KMeansTransform(["pose/data"], savepath=str(tmp_path / "kmeans"),
+                         key=["oliver", "maher"], data=data.train,
+                         num_clusters=4, mask=[0, 7, 8, 9], verbose=False)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(3, 16, 8))
+
+    def naive(x, feats):
+        cols = []
+        for feat in feats:
+            v = np.zeros_like(x)
+            v[:, 1:, :] = x[:, 1:] - x[:, :-1]
+            if feat == "pose":
+                cols.append(x)
+            elif feat == "velocity":
+                cols.append(v)
+            elif feat == "speed":
+                s = v.reshape(v.shape[0], v.shape[1], 2, -1)
+                cols.append(np.sqrt((s ** 2).sum(axis=-2)))
+            elif feat == "acceleration":
+                a = np.zeros_like(x)
+                a[:, 1:, :] = v[:, 1:] - v[:, :-1]
+                cols.append(a)
+        return np.concatenate(cols, axis=-1)
+
+    for feats in (["pose", "velocity"], ["velocity"], ["speed"],
+                  ["acceleration"], ["pose", "speed", "acceleration"],
+                  ["pose", "velocity", "speed", "acceleration"]):
+        km.feats = feats
+        np.testing.assert_allclose(km.get_feats(x), naive(x, feats),
+                                   rtol=0, atol=0)
+
+
 def test_remove_add_slices_roundtrip():
     x = np.arange(2 * 3 * 2 * 6, dtype=float).reshape(2, 3, 2, 6)
     kept, removed = remove_slices(x, [0, 3], axis=-1)
