@@ -93,6 +93,21 @@ def animate(ys, interval_id, parents, dir_name, desc, data, start, end, idx,
     filename_temp = filename.with_name(f"{stem}_temp.{ext}")
     os.makedirs(filename.parent, exist_ok=True)
 
+    backend = os.environ.get("MIXSTAGE_RENDER_BACKEND", "auto")
+    if backend != "matplotlib":
+        from mixstage_tpu.animation import raster
+
+        if backend == "native" or raster.available():
+            try:
+                return _animate_native(ys, filename, filename_temp, parents,
+                                       data, interval_id, start, end, text,
+                                       fps, bitrate)
+            except Exception:
+                if backend == "native":
+                    raise
+                warnings.warn("native rasterizer failed; falling back to "
+                              "matplotlib")
+
     plt.ioff()
     fig = plt.figure()
     fig.patch.set_alpha(0.0)
@@ -185,6 +200,28 @@ def animate(ys, interval_id, parents, dir_name, desc, data, start, end, idx,
     return filename.as_posix()
 
 
+def _animate_native(ys, filename, filename_temp, parents, data, interval_id,
+                    start, end, text, fps, bitrate):
+    """Native-rasterizer render path (see animation/raster.py); identical
+    file/audio-mux contract to the matplotlib path above."""
+    from mixstage_tpu.animation import raster
+
+    if start is not None and have_ffmpeg():
+        raster.render_to_file(ys, parents, filename_temp.as_posix(),
+                              text=text, fps=fps, bitrate=bitrate)
+        audio_file = get_audio_file(data, interval_id)
+        if audio_file is not None:
+            add_audio(start, end, audio_file, filename_temp.as_posix(),
+                      filename.as_posix())
+        else:
+            shutil.move(filename_temp.as_posix(), filename.as_posix())
+    else:
+        raster.render_to_file(ys, parents, filename.as_posix(), text=text,
+                              fps=fps, bitrate=bitrate)
+    print(f"{filename} saved")
+    return filename.as_posix()
+
+
 def get_audio_file(data, interval_id) -> Optional[str]:
     speaker = data.getSpeaker(interval_id)
     parent = Path(data.path2data) / "raw" / f"{speaker}_cropped"
@@ -225,6 +262,31 @@ def save_animation(y, interval_ids, dir_name, desc, data, start=None,
     parallel(animate, -1, y, list(interval_ids), [parents] * n,
              listify(dir_name), listify(desc), [data] * n, listify(start),
              listify(end), listify(idx), listify(subname), listify(text))
+
+
+def frames(ys, clusters, interval_id, parents, dir_name, data, subname,
+           filename=None):
+    """Per-cluster still-frame dumps (reference ``animation.py:418-460``):
+    frame ``i`` of the interval renders to
+    ``render[_<subname>]/<speaker>/<clusters[i]>/frame_<i>.png`` so each
+    mixture cluster's poses can be browsed side by side.  Returns the
+    speaker directory, like the reference."""
+    from PIL import Image
+
+    from mixstage_tpu.animation import raster
+
+    if not isinstance(ys, list):
+        ys = [ys]
+    render_dir = f"render_{subname}" if subname is not None else "render"
+    if filename is None:
+        filename = (Path(dir_name) / render_dir / data.getSpeaker(interval_id)
+                    / "{}" / "frame_{}.png")
+    imgs = raster.rasterize(ys, parents)
+    for i in range(imgs.shape[0]):
+        path = Path(str(filename).format(clusters[i], i))
+        os.makedirs(path.parent, exist_ok=True)
+        Image.fromarray(imgs[i]).save(path.as_posix())
+    return Path(str(filename)).parent.parent
 
 
 def render_ground_truth(args, exp_num):

@@ -37,6 +37,14 @@ def select_render_files(kp_dir: Path, n: int) -> list:
 
 def render(args: Config, exp_num: int):
     assert args.load, "pass -load <PREFIX_weights.p> of a sampled experiment"
+    # restore the experiment's args from the checkpoint, keeping explicit CLI
+    # overrides (reference render.py:23-27 via pycasper get_args_update_dict)
+    from mixstage_tpu.bookkeeping import BookKeeper
+    from mixstage_tpu.config import get_args_update_dict
+
+    book = BookKeeper(args, ["exp", "cpk", "speaker", "model", "note"],
+                      args_dict_update=get_args_update_dict(args))
+    args = book.args
     prefix = Path(args.load.replace("_weights.p", ""))
     exp_dir = prefix
     if not exp_dir.is_dir():

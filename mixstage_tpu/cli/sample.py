@@ -13,7 +13,13 @@ from mixstage_tpu.train.trainer import Trainer
 def loop(args: Config, exp_num: int):
     assert args.load, "pass -load <PREFIX_weights.p>"
     args_subset = ["exp", "cpk", "speaker", "model", "note"]
-    trainer = Trainer(args, args_subset, {"window_hop": 0})
+    # explicit CLI flags survive the checkpoint-args restore
+    # (reference sample.py:10: get_args_update_dict)
+    from mixstage_tpu.config import get_args_update_dict
+
+    update = get_args_update_dict(args)
+    update["window_hop"] = 0
+    trainer = Trainer(args, args_subset, update)
     trainer.book._set_seed()
     trainer.sample(exp_num)
     trainer.finish_exp()

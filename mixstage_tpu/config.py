@@ -227,6 +227,25 @@ def get_args_perm(argv=None):
     return args, perms
 
 
+def get_args_update_dict(cfg: "Config", argv=None) -> dict:
+    """Flags the user explicitly typed on the CLI → ``{name: cfg value}``.
+
+    Parity: ``pycasper.argsUtils.get_args_update_dict`` (SURVEY §1.1), used
+    by the inference CLIs (reference sample.py:10, render.py:24) so explicit
+    CLI overrides survive the checkpoint-args restore."""
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    names = {f[0] for f in _FLAGS}
+    typed = set()
+    for tok in argv:
+        if isinstance(tok, str) and tok.startswith("-"):
+            name = tok.lstrip("-").split("=")[0]
+            if name in names:
+                typed.add(name)
+    return {k: getattr(cfg, k) for k in typed if k != "load"}
+
+
 def argparse_n_loop(loop, argv=None):
     """Run ``loop(cfg, exp_index)`` for every permutation of list-valued flags."""
     _, perms = get_args_perm(argv)

@@ -140,7 +140,172 @@ def test_html_supplementary_page(tmp_path):
     assert "B1. Body Orientation Style" in html and "<video" in html
 
 
-def test_split_text_wraps_at_line_length():
+def test_raster_native_matches_numpy_reference():
+    """The C++ rasterizer and the pure-numpy fallback implement identical
+    math (tapered-capsule coverage, per-bone uint8 quantization)."""
+    from mixstage_tpu.animation import raster
+
+    if not raster.available():
+        pytest.skip("native raster lib unavailable (no toolchain)")
+    rng = np.random.default_rng(3)
+    y = np.cumsum(rng.normal(size=(4, 2, 52)), 0) * 25
+    native = raster.rasterize(y, PARENTS, panel=128)
+    stack = np.ascontiguousarray(np.stack([np.asarray(y, np.float32)]))
+    ref = raster._rasterize_numpy(
+        stack, np.asarray(PARENTS, np.int32), raster.bone_colors(51),
+        raster.bone_peak_widths(51), float(raster.MIN_W_PX), 128, 500.0)
+    assert native.shape == ref.shape == (4, 128, 128, 3)
+    np.testing.assert_array_equal(native, ref)
+    assert (native < 250).mean() > 0  # some ink was drawn
+
+
+def test_raster_bone_geometry_and_color():
+    """A single horizontal bone lands at the expected pixels with the
+    matplotlib C0 color; background stays white; panels tile horizontally."""
+    from mixstage_tpu.animation import raster
+
+    parents = np.array([-1, 0], np.int32)
+    pose = np.zeros((2, 2, 2), np.float32)          # (T=2, 2, J=2)
+    pose[:, 0, 0], pose[:, 0, 1] = -200.0, 200.0    # x: -200 → +200, y = 0
+    frames = raster.rasterize([pose, pose], parents, panel=480)
+    assert frames.shape == (2, 480, 960, 3)
+    # world (0, 0) → pixel (240, 240); bone midpoint is at peak width
+    assert tuple(frames[0, 240, 240]) == tuple(raster.TAB10_RGB[0])
+    assert tuple(frames[0, 240, 240 + 480]) == tuple(raster.TAB10_RGB[0])
+    assert (frames[0, 0, 0] == 255).all()
+    # off the segment (same row, x outside endpoints) stays white
+    assert (frames[0, 240, 40] == 255).all()
+    # rows far above the bone stay white
+    assert (frames[0, 100, :480] == 255).all()
+
+
+def test_native_gif_encoder_roundtrip(tmp_path):
+    """The native GIF89a/LZW encoder produces a bitstream PIL decodes back
+    to exactly the nearest-palette mapping of the input frames."""
+    from PIL import Image
+
+    from mixstage_tpu.animation import raster
+
+    if raster.get_lib() is None:
+        pytest.skip("native raster lib unavailable (no toolchain)")
+    y = np.cumsum(np.random.default_rng(1).normal(size=(6, 2, 52)), 0) * 10
+    frames = raster.rasterize(y, PARENTS, panel=160)
+    path = str(tmp_path / "clip.gif")
+    raster.write_gif(frames, path, fps=15)
+    im = Image.open(path)
+    assert im.n_frames == 6
+    assert im.info.get("loop") == 0          # NETSCAPE loop-forever
+    assert im.info.get("duration") == 70     # ceil-ish of 100/15 cs → ms
+    pal = raster.gif_palette().astype(np.int64)
+    for t in range(6):
+        im.seek(t)
+        dec = np.asarray(im.convert("RGB"))
+        orig = frames[t].astype(np.int64)
+        d = ((orig[:, :, None, :] - pal[None, None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(dec, pal[d.argmin(-1)])
+
+
+def test_animate_native_backend_writes_gif(tmp_path, monkeypatch):
+    import pandas as pd
+    from PIL import Image
+
+    from mixstage_tpu.animation.animation import animate
+
+    class FakeData:
+        path2data = "/nonexistent"
+
+        def getSpeaker(self, interval_id):
+            return "oliver"
+
+    monkeypatch.setenv("MIXSTAGE_RENDER_BACKEND", "native")
+    y = np.cumsum(np.random.default_rng(0).normal(size=(6, 2, 52)), 0) * 10
+    text = pd.DataFrame({"Word": ["hi", "there"], "start_frame": [0, 3],
+                         "end_frame": [3, 6]})
+    out = animate(y, "123", PARENTS, str(tmp_path), "test", FakeData(),
+                  None, None, 0, None, text=text, fps=5)
+    assert out.endswith(".gif")
+    im = Image.open(out)
+    assert im.n_frames == 6
+    fr = np.asarray(im.convert("RGB"))
+    assert fr.shape[0] > 480  # caption strip appended
+    strip = fr[480:]
+    red = (strip[..., 0] > 150) & (strip[..., 1] < 100) & (strip[..., 2] < 100)
+    assert red.sum() > 0  # active word highlighted
+
+
+def test_render_cli_restores_checkpoint_args(tmp_path, monkeypatch):
+    """End-to-end render CLI on a fabricated experiment: the speaker list
+    must come from the checkpoint's ``_args.args`` (reference render.py:23-27
+    via get_args_update_dict), not the CLI defaults — regression for the
+    getSpeaker IndexError on intervals of a non-default speaker."""
+    import sys
+
+    import pandas as pd
+
+    from mixstage_tpu.config import config_from_dict
+    from mixstage_tpu.data.hdf5 import HDF5
+    from mixstage_tpu.data.synthetic import make_synthetic_dataset
+
+    data_dir = tmp_path / "pats"
+    make_synthetic_dataset(str(data_dir), speakers=["oliver", "maher"],
+                           num_intervals_per_speaker=2)
+    df = pd.read_csv(data_dir / "cmu_intervals_df.csv", dtype=str)
+    # an interval of the speaker that is NOT the config default ('oliver')
+    iid = df[df.speaker == "maher"]["interval_id"].iloc[0]
+
+    save_dir = tmp_path / "save"
+    save_dir.mkdir()
+    prefix = save_dir / "exp_1_cpk_m_speaker_['oliver', 'maher']_model_M"
+    cfg = config_from_dict(dict(
+        path2data=str(data_dir), speaker=["oliver", "maher"],
+        modalities=["pose/data", "audio/log_mel_512"], fs_new=[15, 15],
+        save_dir=str(save_dir), exp=1, cpk="m", model="M"))
+    cfg.save(f"{prefix}_args.args")
+    kp = prefix / "keypoints" / "test" / "maher"
+    kp.mkdir(parents=True)
+    y = np.cumsum(np.random.default_rng(0).normal(size=(16, 104)), 0)
+    HDF5.append((kp / f"{iid}.h5").as_posix(), "pose/data", y)
+
+    monkeypatch.setenv("MIXSTAGE_RENDER_BACKEND", "native")
+    monkeypatch.setattr(sys, "argv", [
+        "render", "-load", f"{prefix}_weights.p", "-path2data", str(data_dir),
+        "-render", "1"])
+    from mixstage_tpu.cli.render import main
+    main()
+    out = prefix / "render" / "test" / "maher" / f"{iid}.gif"
+    out_eval = prefix / "render_eval" / "test" / "maher" / f"{iid}.gif"
+    assert out.exists() and out.stat().st_size > 0
+    assert out_eval.exists() and out_eval.stat().st_size > 0
+
+
+def test_frames_per_cluster_png_dump(tmp_path):
+    """reference animation.py:418-460: frame i → <speaker>/<cluster_i>/
+    frame_<i>.png; returns the speaker dir."""
+    from mixstage_tpu.animation.animation import frames
+
+    class FakeData:
+        def getSpeaker(self, interval_id):
+            return "oliver"
+
+    y = np.cumsum(np.random.default_rng(0).normal(size=(5, 2, 52)), 0) * 10
+    out = frames(y, [0, 1, 0, 2, 1], "7", PARENTS, str(tmp_path), FakeData(),
+                 "style")
+    base = tmp_path / "render_style" / "oliver"
+    assert sorted(p.name for p in base.iterdir()) == ["0", "1", "2"]
+    for i, c in enumerate([0, 1, 0, 2, 1]):
+        assert (base / str(c) / f"frame_{i}.png").exists()
+    assert str(out) == str(base)
+
+
+def test_get_args_update_dict_tracks_typed_flags():
+    from mixstage_tpu.config import config_from_dict, get_args_update_dict
+
+    cfg = config_from_dict(dict(render=3, speaker=["x"], batch_size=7))
+    upd = get_args_update_dict(
+        cfg, argv=["-load", "w.p", "-render", "3", "--batch_size", "7",
+                   "-notaflag", "1"])
+    # typed flags captured with cfg values; load and unknowns excluded
+    assert upd == {"render": 3, "batch_size": 7}
     import pandas as pd
 
     from mixstage_tpu.animation.animation import split_text
