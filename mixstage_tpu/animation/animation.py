@@ -222,6 +222,12 @@ def _animate_native(ys, filename, filename_temp, parents, data, interval_id,
     return filename.as_posix()
 
 
+def in_modalities(modality: str, input_modalities) -> bool:
+    """True when e.g. 'text' appears in any modality key like 'text/bert'
+    (reference animation.py:336-342)."""
+    return any(modality in key for key in input_modalities)
+
+
 def get_audio_file(data, interval_id) -> Optional[str]:
     speaker = data.getSpeaker(interval_id)
     parent = Path(data.path2data) / "raw" / f"{speaker}_cropped"
@@ -306,9 +312,14 @@ def render_ground_truth(args, exp_num):
 
     for desc in ["train", "dev", "test"]:
         for minidata in data.datasets[desc].datasets:
-            from mixstage_tpu.data.text import read_text_meta
+            # captions only when a text modality is in play
+            # (reference animation.py:377,407)
+            text = None
+            if in_modalities("text", getattr(args, "input_modalities", None)
+                             or args.modalities):
+                from mixstage_tpu.data.text import read_text_meta
 
-            text = read_text_meta(minidata.path2h5)
+                text = read_text_meta(minidata.path2h5)
             loader = DataLoader(minidata, batch_size=len(minidata) or 1,
                                 shuffle=False)
             for batch in loader:

@@ -53,6 +53,31 @@ FS_POSE = 15  # pose frame rate (skeleton.py:295-296)
 NUM_JOINTS = len(PARENTS)  # 52
 REF_SHOULDER_LEN = 167.0   # normalization target (skeleton.py:118)
 
+# OpenPose BODY_25 → 10-joint upper-body subset (reference skeleton.py:43)
+BERK_BODY_IDX = [0, 1, 2, 3, 4, 5, 6, 18, 19, 21]
+
+
+def load_yaml_keypoints(filename: str) -> np.ndarray:
+    """OpenCV-YAML keypoint matrix → ``(J, 3)`` x/y/confidence array
+    (reference ``loadYAML``, skeleton.py:29-34: the first 3 lines are the
+    OpenCV ``%YAML`` directive block pyyaml cannot parse)."""
+    import yaml
+
+    with open(filename) as f:
+        lines = f.readlines()[3:]
+    data = yaml.safe_load("".join(lines))
+    return np.array(data["data"]).reshape(-1, 3)
+
+
+def load_pose(filename: str) -> np.ndarray:
+    """``<base>_{pose,hand_left,hand_right}.yml`` → ``(52, 3)`` stack
+    (reference ``loadPose``, skeleton.py:36-48)."""
+    base = "_".join(filename.split("_")[:-1])
+    pose = load_yaml_keypoints(base + "_pose.yml")[BERK_BODY_IDX]
+    left = load_yaml_keypoints(base + "_hand_left.yml")[:21]
+    right = load_yaml_keypoints(base + "_hand_right.yml")[:21]
+    return np.concatenate([pose, left, right])
+
 
 class Skeleton2D(Modality):
     def __init__(self, path2data="../dataset/groot/data",
@@ -166,7 +191,16 @@ class Skeleton2D(Modality):
         return self.normalize_shoulder(data)
 
     def confidence(self, interval_id):
-        """OpenPose confidences duplicated across x/y (skeleton.py:139-178)."""
+        """OpenPose confidences duplicated across x/y.  CMU intervals
+        (leading 'c') read the cached ``raw_keypoints`` h5; Berkeley ids
+        re-read the OpenPose YAML dumps (reference skeleton.py:174-178
+        dispatch)."""
+        if str(interval_id)[:1] == "c":
+            return self.cmu_confidence(interval_id)
+        return self.berk_confidence(interval_id)
+
+    def cmu_confidence(self, interval_id):
+        """(skeleton.py:161-172)"""
         filename = (Path(self.path2outdata) / "raw_keypoints"
                     / self.get_df_subset("interval_id", interval_id).iloc[0].speaker
                     / f"{interval_id}.h5")
@@ -178,20 +212,72 @@ class Skeleton2D(Modality):
         keypoints = data[:, -1, :]
         return np.concatenate([keypoints] * 2, axis=1)
 
+    def berk_confidence(self, interval_id):
+        """Confidence column of the interval's OpenPose YAML dumps under
+        the sibling ``keypoints_all`` tree (skeleton.py:139-156)."""
+        file_list = self.get_filelist(interval_id)
+        if file_list is None:
+            return None
+        kp = []
+        for f in file_list:
+            p = Path(f)
+            yml = (p.parent.parent.parent / "keypoints_all" / p.parent.name
+                   / (p.name[:-4] + "_pose.yml"))
+            kp.append(load_pose(yml.as_posix()))
+        try:
+            keypoints = np.stack(kp, axis=0)[..., -1]
+        except ValueError:
+            warnings.warn(f"[BERK_CONFIDENCE] interval_id: {interval_id}")
+            return None
+        return np.concatenate([keypoints] * 2, axis=1)
+
+    @staticmethod
+    def time_from_file(name: str) -> str:
+        """``<video>_H_MM_SS[.ffffff].<ext>`` → ``H:MM:SS.ffffff``
+        (reference ``get_time_from_file``, skeleton.py:241-246)."""
+        stem = ".".join(name.split(".")[:-1]) if "." in name else name
+        t = ":".join(stem.split("_")[-3:])
+        return t if "." in t else t + ".000000"
+
     def get_filelist(self, interval_id):
-        """Enumerate per-frame keypoint files of an interval
-        (skeleton.py:203-228); None if incomplete."""
+        """The interval's ``[start_time, end_time]`` slice of its video's
+        per-frame keypoint files, ordered by the timestamps embedded in the
+        filenames; ``None`` when a boundary frame is absent or the slice has
+        frame-rate gaps (reference skeleton.py:228-245, incl. the
+        ``are_keypoints_complete`` 8e-5 s tolerance).  Boundary matching is
+        numeric (seconds) instead of the reference's string equality, which
+        is fragile to zero-padding."""
         df = self.df[self.df["interval_id"] == interval_id]
         if not len(df):
             return None
+        to_secs = lambda s: pd.to_timedelta(s).total_seconds()  # noqa: E731
+        start_s = to_secs(str(df["start_time"].values[0]))
+        end_s = to_secs(str(df["end_time"].values[0]))
         speaker = df["speaker"].values[0]
         video_fn = df["video_fn"].values[0].split(".")[0]
         video_fn = "_".join(video_fn.split(" "))
-        path2keypoints = Path(self.path2data) / speaker / "keypoints_simple" / video_fn
+        path2keypoints = (Path(self.path2data) / speaker / "keypoints_simple"
+                          / video_fn)
         if not path2keypoints.exists():
             return None
-        files = sorted(os.listdir(path2keypoints))
-        return [str(path2keypoints / f) for f in files]
+        names = os.listdir(path2keypoints)
+        if not names:
+            return None
+        secs = np.array([to_secs(self.time_from_file(n)) for n in names])
+        order = np.argsort(secs, kind="stable")
+        names = [names[i] for i in order]
+        secs = secs[order]
+        hit_s = np.flatnonzero(np.abs(secs - start_s) < 5e-4)
+        hit_e = np.flatnonzero(np.abs(secs - end_s) < 5e-4)
+        if not len(hit_s) or not len(hit_e):
+            warnings.warn(f"interval_id: {interval_id} not found.")
+            return None
+        s, e = int(hit_s[0]), int(hit_e[0])
+        fs = self.fs("pose/data")
+        if np.any(np.abs(np.diff(secs[s:e + 1]) - 1.0 / fs) > 8e-5):
+            warnings.warn(f"interval_id: {interval_id} has keypoint gaps.")
+            return None
+        return [str(path2keypoints / n) for n in names[s:e + 1]]
 
 
 if __name__ == "__main__":

@@ -61,6 +61,7 @@ def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
                            interval_seconds: float = 25.0,
                            with_text: bool = False,
                            with_raw_transcripts: bool = False,
+                           with_raw_keypoints: bool = False,
                            seed: int = 11212) -> str:
     """Write a synthetic dataset under ``path2data``; returns the path.
 
@@ -68,6 +69,14 @@ def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
     the not-aligned text path (reference text.py:142-237): one video per
     speaker whose intervals run back-to-back, with a word-timing CSV at
     ``raw/<speaker>/<video>_transcripts/<video>.csv``.
+
+    ``with_raw_keypoints`` writes the raw trees the skeleton preprocessing
+    consumes (reference skeleton.py:29-48,180-245): per-frame ``(2, 52)``
+    txt matrices under ``<speaker>/keypoints_simple/<video>/`` named with
+    the frame's video timestamp, plus OpenPose-style
+    ``keypoints_all/<video>/*_{pose,hand_left,hand_right}.yml`` dumps
+    (3-line OpenCV %YAML header + a ``data:`` list) for the Berkeley
+    confidence branch.
     """
     if speakers is None:
         speakers = ["oliver", "maher"]
@@ -126,6 +135,29 @@ def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
             os.makedirs(tdir, exist_ok=True)
             pd.DataFrame(transcript_rows).to_csv(tdir / f"{video_id}.csv",
                                                  index=False)
+        if with_raw_keypoints:
+            video_dir = f"{speaker}_video"  # video_fn minus extension
+            simple = Path(path2data) / speaker / "keypoints_simple" / video_dir
+            kp_all = Path(path2data) / speaker / "keypoints_all" / video_dir
+            os.makedirs(simple, exist_ok=True)
+            os.makedirs(kp_all, exist_ok=True)
+            total_s = num_intervals_per_speaker * interval_seconds
+            n_frames = int(round(total_s * POSE_FS)) + 1  # boundary shared
+            for fi in range(n_frames):
+                t = fi / POSE_FS
+                h = int(t // 3600)
+                m = int(t % 3600 // 60)
+                s = t % 60
+                stem = f"{video_dir}_{h}_{m:02d}_{s:09.6f}"
+                kp = rng.normal(size=(2, 52)) * 40 + 300
+                np.savetxt(simple / f"{stem}.txt", kp)
+                for part, joints in (("pose", 25), ("hand_left", 21),
+                                     ("hand_right", 21)):
+                    vals = rng.random(joints * 3).round(4).tolist()
+                    with open(kp_all / f"{stem}_{part}.yml", "w") as f:
+                        f.write("%YAML:1.0\n---\n"
+                                f"name: {part}\n"
+                                f"data: {vals}\n")
     pd.DataFrame(rows).to_csv(Path(path2data) / "cmu_intervals_df.csv",
                               index=False)
     return path2data

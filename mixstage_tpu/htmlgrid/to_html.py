@@ -90,3 +90,31 @@ def make_html_file(view_dir: str, num_videos: int = 2,
 
 # reference-spelled alias
 makeHTMLfile = make_html_file
+
+
+def make_html_file_loop(args, exp_num: int):
+    """Standalone CLI loop: rebuild the video-matrix pages of a checkpointed
+    experiment (reference ``makeHTMLfile_loop``, toHTML.py:78-93 +
+    ``argparseNloop`` main)."""
+    assert args.load, "pass -load <PREFIX_weights.p>"
+    assert os.path.exists(args.load) or os.path.exists(
+        args.load.replace("_weights.p", "_args.args")), \
+        f"load file {args.load} must exist"
+    from mixstage_tpu.bookkeeping import BookKeeper
+    from mixstage_tpu.config import get_args_update_dict
+
+    book = BookKeeper(args, ["exp", "cpk", "speaker", "model"],
+                      args_dict_update=get_args_update_dict(args))
+    dir_name = book.name.dir(book.args.save_dir)
+    make_html_file(dir_name, book.args.render, "videos")
+    make_html_file(dir_name, 4, "videos_subset")
+
+
+def main():
+    from mixstage_tpu.config import argparse_n_loop
+
+    argparse_n_loop(make_html_file_loop)
+
+
+if __name__ == "__main__":
+    main()

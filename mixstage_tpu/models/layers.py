@@ -30,6 +30,22 @@ from flax import linen as nn
 Dtype = Any
 
 
+def num_powers_of_two(x: int) -> int:
+    """Largest k with 2^k | x (reference layers.py:16-24; used by the UNet
+    depth assertion)."""
+    k = 0
+    while x > 1 and x % 2 == 0:
+        x //= 2
+        k += 1
+    return k
+
+
+def next_multiple_power_of_two(x: int, power: int = 5) -> int:
+    """Scale ``x`` up until 2^power divides it (reference layers.py:26-30)."""
+    k = num_powers_of_two(x)
+    return x * (2 ** (power - k)) if k < power else x
+
+
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 

@@ -311,3 +311,54 @@ def test_prefetch_pool_order_and_exceptions():
     except ValueError:
         pass
     assert got == list(range(5))
+
+
+def test_skeleton_raw_preprocessing_pipeline(tmp_path):
+    """Raw keypoints_simple txt trees → pose/data h5 (reference
+    skeleton.py:67-110,180-245): per-interval timestamp slicing of the
+    video's frame files, root-relative encoding, frame-gap detection, and
+    the Berkeley YAML confidence branch."""
+    import os
+
+    from mixstage_tpu.data.skeleton import Skeleton2D, load_pose
+    from mixstage_tpu.data.synthetic import make_synthetic_dataset
+
+    make_synthetic_dataset(str(tmp_path), ["oliver"],
+                           num_intervals_per_speaker=2, interval_seconds=2.0,
+                           with_raw_keypoints=True)
+    out = tmp_path / "out"
+    sk = Skeleton2D(path2data=str(tmp_path), path2outdata=str(out),
+                    speaker=["oliver"], preprocess_methods="data")
+    ids = sorted(sk.get_df_subset("speaker", "oliver")["interval_id"])
+    assert len(ids) == 2
+
+    # interval slicing: 2 s * 15 fps + shared boundary frame = 31 files each
+    fl0 = sk.get_filelist(ids[0])
+    fl1 = sk.get_filelist(ids[1])
+    assert len(fl0) == 31 and len(fl1) == 31
+    assert fl0[-1] == fl1[0]              # end frame == next start frame
+    assert set(fl0[:-1]).isdisjoint(fl1)  # otherwise non-overlapping
+
+    sk.preprocess()
+    h5 = out / "processed" / "oliver" / f"{ids[0]}.h5"
+    from mixstage_tpu.data.hdf5 import HDF5
+    data = HDF5.load_array(h5.as_posix(), "pose/data")
+    # matches the direct computation from the txt files
+    kp = np.stack([np.loadtxt(f) for f in fl0], 0)
+    np.testing.assert_allclose(data, Skeleton2D.process_keypoints(kp))
+
+    # Berkeley confidence branch: YAML conf column duplicated across x/y
+    skc = Skeleton2D(path2data=str(tmp_path), path2outdata=str(out),
+                     speaker=["oliver"], preprocess_methods="confidence")
+    conf = skc.confidence(ids[0])
+    assert conf.shape == (31, 104)
+    p = __import__("pathlib").Path(fl0[0])
+    yml = (p.parent.parent.parent / "keypoints_all" / p.parent.name
+           / (p.name[:-4] + "_pose.yml"))
+    np.testing.assert_allclose(conf[0, :52], load_pose(yml.as_posix())[:, -1])
+    np.testing.assert_allclose(conf[0, 52:], conf[0, :52])
+
+    # a frame gap inside the interval → None (are_keypoints_complete parity)
+    os.remove(fl1[3])
+    assert sk.get_filelist(ids[1]) is None
+    assert sk.get_filelist(ids[0]) is not None

@@ -337,3 +337,48 @@ def test_get_line_segments_shape_and_endpoints():
     assert seg0.shape == (8, 2, 2)
     np.testing.assert_allclose(seg0, 3.0 * np.ones_like(seg0) *
                                np.array([1.0, 4.0 / 3.0]))
+
+
+def test_make_html_file_loop_cli(tmp_path, monkeypatch):
+    """Standalone HTML CLI (reference toHTML.py:78-93): restore args from
+    the checkpoint, rebuild videos.html + videos_subset.html in the
+    experiment dir."""
+    import sys
+
+    from mixstage_tpu.config import config_from_dict
+
+    save_dir = tmp_path
+    prefix = save_dir / "exp_9_cpk_m_speaker_oliver_model_M"
+    cfg = config_from_dict(dict(save_dir=str(save_dir), exp=9, cpk="m",
+                                speaker="oliver", model="M", note=None,
+                                render=2))
+    cfg.save(f"{prefix}_args.args")
+    vid = prefix / "render_oliver_maher" / "test" / "oliver"
+    vid.mkdir(parents=True)
+    (vid / "1.mp4").touch()
+
+    monkeypatch.setattr(sys, "argv",
+                        ["to_html", "-load", f"{prefix}_weights.p"])
+    from mixstage_tpu.htmlgrid.to_html import main
+    main()
+    assert (prefix / "videos.html").exists()
+    assert (prefix / "videos_subset.html").exists()
+    assert "1.mp4" in (prefix / "videos.html").read_text()
+
+
+def test_layer_power_of_two_utils():
+    from mixstage_tpu.models.layers import (next_multiple_power_of_two,
+                                            num_powers_of_two)
+
+    assert num_powers_of_two(64) == 6
+    assert num_powers_of_two(12) == 2
+    assert num_powers_of_two(7) == 0
+    assert next_multiple_power_of_two(12, power=5) == 96   # 12 * 2^3
+    assert next_multiple_power_of_two(64, power=5) == 64   # already 2^5-able
+
+
+def test_in_modalities_helper():
+    from mixstage_tpu.animation.animation import in_modalities
+
+    assert in_modalities("text", ["pose/data", "text/bert"])
+    assert not in_modalities("text", ["pose/data", "audio/log_mel_512"])
