@@ -26,6 +26,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import List, Optional, Sequence
 
@@ -35,6 +36,7 @@ _NATIVE_DIR = Path(__file__).parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libraster.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_lib_lock = threading.Lock()  # save_animation fans out via joblib threads
 
 # matplotlib's default prop cycle (tab10) — the reference assigns bone i the
 # cycle color i % 10 via repeated ax.plot (animation.py / our animation.py
@@ -67,6 +69,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    with _lib_lock:
+        return _load_lib_locked()
+
+
+def _load_lib_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:  # another thread won the race
+        return _lib
     _tried = True
     if not _LIB_PATH.exists() and not _build():
         return None
@@ -81,7 +91,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, u8p]
         lib.encode_gif.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
-            ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64]
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
+            ctypes.c_int64]
         lib.encode_gif.restype = ctypes.c_int64
         _lib = lib
     except OSError:
@@ -117,6 +128,8 @@ def _rasterize_numpy(ys: np.ndarray, parents: np.ndarray, colors: np.ndarray,
                 par = int(parents[j])
                 if par < 0:
                     continue
+                if not np.isfinite(ys[p, t, :, [par, j]]).all():
+                    continue  # same guard as raster.cpp (diverged nets)
                 x0 = (ys[p, t, 0, par] + world_half) * scale
                 y0 = (ys[p, t, 1, par] + world_half) * scale
                 x1 = (ys[p, t, 0, j] + world_half) * scale
@@ -166,6 +179,8 @@ def rasterize(ys, parents, panel: int = 480, world_half: float = 500.0,
         np.stack([np.asarray(y)[:T] for y in ys]), np.float32)
     P, _, _, J = stack.shape
     parents = np.ascontiguousarray(parents, np.int32)
+    assert parents.shape == (J,), (
+        f"parents has {parents.shape[0]} entries for {J}-joint poses")
     colors = np.ascontiguousarray(bone_colors(J - 1))
     peak_w = np.ascontiguousarray(bone_peak_widths(J - 1), np.float32)
     lib = get_lib()
@@ -185,44 +200,66 @@ def rasterize(ys, parents, panel: int = 480, world_half: float = 500.0,
 CAPTION_H = 28
 
 
+class CaptionOverlay:
+    """Stateful caption-strip renderer reproducing the reference's
+    word-highlight state machine (animation.py:179-231: the caption line
+    advances — at most one line per frame, like the reference — when the
+    frame passes the line's last ``end_frame``; the first word whose
+    ``end_frame`` is still ahead is highlighted).  Statefulness lets long
+    clips stream through in chunks: call ``apply`` with consecutive frame
+    ranges."""
+
+    def __init__(self, text, max_length: int = 27):
+        from PIL import ImageFont
+
+        from mixstage_tpu.animation.animation import split_text
+
+        self.subs = split_text(text, max_length=max_length)
+        self.idx = 0
+        self.end_frame = (float(self.subs[0].iloc[-1].end_frame)
+                          if self.subs else 0.0)
+        try:
+            self.font = ImageFont.load_default(size=16)
+        except TypeError:  # older Pillow: fixed-size bitmap font
+            self.font = ImageFont.load_default()
+        self.char_w = (max(1, int(self.font.getbbox("M")[2]
+                                  - self.font.getbbox("M")[0]))
+                       if hasattr(self.font, "getbbox") else 8)
+
+    def apply(self, frames: np.ndarray, frame_offset: int = 0) -> np.ndarray:
+        from PIL import Image, ImageDraw
+
+        T, H, W, _ = frames.shape
+        out = np.full((T, H + CAPTION_H, W, 3), 255, np.uint8)
+        out[:, :H] = frames
+        if not self.subs:
+            return out
+        for i in range(T):
+            frame = frame_offset + i
+            if frame >= self.end_frame and self.idx + 1 < len(self.subs):
+                self.idx += 1
+                self.end_frame = float(self.subs[self.idx].iloc[-1].end_frame)
+            sub = self.subs[self.idx]
+            words = [str(w) for w in sub.Word.values]
+            active = sub[frame < sub["end_frame"]]
+            current = (int(active.index[0] - sub.index[0])
+                       if len(active) else 0)
+            strip = Image.fromarray(out[i, H:])
+            draw = ImageDraw.Draw(strip)
+            x0 = 4
+            for wi, word in enumerate(words):
+                color = (214, 39, 40) if wi == current else (0, 0, 0)
+                draw.text((x0, 4), word, fill=color, font=self.font)
+                x0 += (len(word) + 1) * self.char_w
+            out[i, H:] = np.asarray(strip)
+        return out
+
+
 def overlay_captions(frames: np.ndarray, text, max_length: int = 27
                      ) -> np.ndarray:
-    """Append a caption strip below the frames, reproducing the reference's
-    word-highlight state machine (animation.py:179-231)."""
-    from PIL import Image, ImageDraw, ImageFont
-
-    from mixstage_tpu.animation.animation import split_text
-
-    subs = split_text(text, max_length=max_length)
-    if not subs:
-        return frames
-    T, H, W, _ = frames.shape
-    try:
-        font = ImageFont.load_default(size=16)
-    except TypeError:  # older Pillow: fixed-size bitmap font
-        font = ImageFont.load_default()
-    char_w = max(1, int(font.getbbox("M")[2] - font.getbbox("M")[0])) \
-        if hasattr(font, "getbbox") else 8
-    out = np.full((T, H + CAPTION_H, W, 3), 255, np.uint8)
-    out[:, :H] = frames
-    idx, end_frame = 0, float(subs[0].iloc[-1].end_frame)
-    for frame in range(T):
-        if frame >= end_frame and idx + 1 < len(subs):
-            idx += 1
-            end_frame = float(subs[idx].iloc[-1].end_frame)
-        sub = subs[idx]
-        words = [str(w) for w in sub.Word.values]
-        active = sub[frame < sub["end_frame"]]
-        current = int(active.index[0] - sub.index[0]) if len(active) else 0
-        strip = Image.fromarray(out[frame, H:])
-        draw = ImageDraw.Draw(strip)
-        x0 = 4
-        for i, word in enumerate(words):
-            color = (214, 39, 40) if i == current else (0, 0, 0)
-            draw.text((x0, 4), word, fill=color, font=font)
-            x0 += (len(word) + 1) * char_w
-        out[frame, H:] = np.asarray(strip)
-    return out
+    """One-shot caption strip (see CaptionOverlay for the streaming form)."""
+    overlay = CaptionOverlay(text, max_length=max_length)
+    return overlay.apply(frames) if overlay.subs else frames
 
 
 # ----------------------------------------------------------------- writers
@@ -239,56 +276,117 @@ def gif_palette() -> np.ndarray:
         np.floor(np.concatenate(ramps) + 0.5).astype(np.uint8))
 
 
-def write_gif(frames: np.ndarray, path: str, fps: int) -> None:
-    frames = np.ascontiguousarray(frames, np.uint8)
-    delay_cs = max(2, int(round(100.0 / fps)))
-    lib = get_lib()
-    if lib is not None:
+class GifWriter:
+    """Streaming GIF writer over the native encoder: each ``add`` chunk is
+    encoded and flushed to disk, so memory stays bounded by the chunk.
+    Without the native lib, frames buffer and PIL writes at ``close``."""
+
+    def __init__(self, path: str, fps: int):
+        self.path = path
+        self.fps = fps
+        self.delay_cs = max(2, int(round(100.0 / fps)))
+        self.lib = get_lib()
+        self._pal = gif_palette()
+        self._file = open(path, "wb") if self.lib is not None else None
+        self._header_written = False
+        self._pil_frames: List = []
+
+    def add(self, frames: np.ndarray) -> None:
+        frames = np.ascontiguousarray(frames, np.uint8)
+        if self.lib is None:
+            from PIL import Image
+
+            self._pil_frames.extend(Image.fromarray(f) for f in frames)
+            return
         T, H, W, _ = frames.shape
-        pal = gif_palette()
         cap = T * H * W // 2 + T * 4096 + (1 << 14)
         while True:
             out = np.empty(cap, np.uint8)
-            n = lib.encode_gif(frames, T, H, W, pal, len(pal), delay_cs,
-                               out, cap)
+            n = self.lib.encode_gif(frames, T, H, W, self._pal,
+                                    len(self._pal), self.delay_cs,
+                                    int(not self._header_written), out, cap)
             if n >= 0:
-                with open(path, "wb") as f:
-                    f.write(out[:n].tobytes())
-                return
-            if cap >= 2 * T * H * W:  # LZW can't legitimately need more
                 break
+            if cap >= 2 * T * H * W + (1 << 16):
+                raise RuntimeError("gif encode buffer overflow")
             cap *= 2
-    from PIL import Image
+        self._header_written = True
+        self._file.write(out[:n].tobytes())
 
-    imgs = [Image.fromarray(f) for f in frames]
-    imgs[0].save(path, save_all=True, append_images=imgs[1:],
-                 duration=max(1, int(round(1000.0 / fps))), loop=0)
+    def close(self) -> None:
+        if self.lib is None:
+            if self._pil_frames:
+                self._pil_frames[0].save(
+                    self.path, save_all=True,
+                    append_images=self._pil_frames[1:],
+                    duration=max(1, int(round(1000.0 / self.fps))), loop=0)
+            return
+        self._file.write(b"\x3B")  # GIF trailer
+        self._file.close()
+
+
+class Mp4Writer:
+    """Streaming rawvideo pipe into ffmpeg (no intermediate PNGs)."""
+
+    def __init__(self, path: str, fps: int, bitrate: int = 1000):
+        self.path = path
+        self.fps = fps
+        self.bitrate = bitrate
+        self.proc = None
+
+    def add(self, frames: np.ndarray) -> None:
+        frames = np.ascontiguousarray(frames, np.uint8)
+        if self.proc is None:
+            _, H, W, _ = frames.shape
+            cmd = ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+                   "-s", f"{W}x{H}", "-r", str(self.fps), "-i", "-",
+                   "-pix_fmt", "yuv420p", "-b:v", f"{self.bitrate}k",
+                   self.path]
+            self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                         stdout=subprocess.DEVNULL,
+                                         stderr=subprocess.DEVNULL)
+        self.proc.stdin.write(frames.tobytes())
+
+    def close(self) -> None:
+        if self.proc is None:
+            return
+        self.proc.stdin.close()
+        if self.proc.wait() != 0:
+            raise RuntimeError(f"ffmpeg rawvideo encode failed for {self.path}")
+
+
+def write_gif(frames: np.ndarray, path: str, fps: int) -> None:
+    writer = GifWriter(path, fps)
+    writer.add(frames)
+    writer.close()
 
 
 def write_mp4(frames: np.ndarray, path: str, fps: int,
               bitrate: int = 1000) -> None:
-    """Pipe raw RGB frames into ffmpeg (no intermediate PNGs)."""
-    T, H, W, _ = frames.shape
-    cmd = ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
-           "-s", f"{W}x{H}", "-r", str(fps), "-i", "-",
-           "-pix_fmt", "yuv420p", "-b:v", f"{bitrate}k", path]
-    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
-    proc.communicate(frames.tobytes())
-    if proc.returncode != 0:
-        raise RuntimeError(f"ffmpeg rawvideo encode failed for {path}")
+    writer = Mp4Writer(path, fps, bitrate)
+    writer.add(frames)
+    writer.close()
 
 
 def render_to_file(ys, parents, filename: str, text=None, fps: int = 15,
                    bitrate: int = 1000, panel: int = 480,
-                   world_half: float = 500.0) -> str:
-    """Rasterize + caption + encode one clip (GIF or mp4 by extension)."""
-    frames = rasterize(ys, parents, panel=panel, world_half=world_half)
-    if text is not None and len(text):
-        frames = overlay_captions(frames, text)
-    if filename.endswith(".mp4"):
-        write_mp4(frames, filename, fps, bitrate)
-    else:
-        write_gif(frames, filename, fps)
+                   world_half: float = 500.0, chunk_frames: int = 64) -> str:
+    """Rasterize + caption + encode one clip (GIF or mp4 by extension),
+    streaming ``chunk_frames`` at a time — a 375-frame pred+GT pair at
+    480 px would be ~0.5 GB as a single stack."""
+    if not isinstance(ys, (list, tuple)):
+        ys = [ys]
+    T = min(int(y.shape[0]) for y in ys)
+    captions = (CaptionOverlay(text)
+                if text is not None and len(text) else None)
+    writer = (Mp4Writer(filename, fps, bitrate)
+              if filename.endswith(".mp4") else GifWriter(filename, fps))
+    for t0 in range(0, T, chunk_frames):
+        t1 = min(T, t0 + chunk_frames)
+        frames = rasterize([np.asarray(y)[t0:t1] for y in ys], parents,
+                           panel=panel, world_half=world_half)
+        if captions is not None:
+            frames = captions.apply(frames, frame_offset=t0)
+        writer.add(frames)
+    writer.close()
     return filename

@@ -67,6 +67,7 @@ class BookKeeper:
         args_subset = args_subset or ["exp", "cpk", "speaker", "model", "note"]
         args_dict_update = dict(args_dict_update or {})
 
+        self._restored_from_ckpt = False
         if getattr(args, "load", None):
             args = self._restore_args(args, args_dict_update)
         else:
@@ -96,10 +97,14 @@ class BookKeeper:
         self._tb = (getattr(self.args, "tb", 0)
                     if tensorboard is None else tensorboard)
 
-        # persist args + name immediately (reference file contract)
-        self.args.save(self.name("args", "args", self.save_dir))
-        with open(self.name("name", "name", self.save_dir), "w") as f:
-            f.write(self.name.prefix)
+        # persist args + name immediately (reference file contract) — but
+        # never rewrite a restored experiment's stored args: that would bake
+        # inference-time CLI overrides (window_hop=0, -render N, scratch
+        # data paths) into the training record
+        if not self._restored_from_ckpt:
+            self.args.save(self.name("args", "args", self.save_dir))
+            with open(self.name("name", "name", self.save_dir), "w") as f:
+                f.write(self.name.prefix)
 
     # ------------------------------------------------------------- restore
     def _restore_args(self, args: Config, args_dict_update: Dict) -> Config:
@@ -122,6 +127,7 @@ class BookKeeper:
                     args_file = cand
                     break
         if os.path.exists(args_file):
+            self._restored_from_ckpt = True
             restored = config_from_dict(json.load(open(args_file)))
             restored.load = load_path
             for k, v in args_dict_update.items():

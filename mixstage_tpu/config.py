@@ -227,30 +227,44 @@ def get_args_perm(argv=None):
     return args, perms
 
 
-def get_args_update_dict(cfg: "Config", argv=None) -> dict:
-    """Flags the user explicitly typed on the CLI → ``{name: cfg value}``.
-
-    Parity: ``pycasper.argsUtils.get_args_update_dict`` (SURVEY §1.1), used
-    by the inference CLIs (reference sample.py:10, render.py:24) so explicit
-    CLI overrides survive the checkpoint-args restore."""
-    import sys
-
-    argv = sys.argv[1:] if argv is None else argv
-    names = {f[0] for f in _FLAGS}
+def _typed_flag_names(argv) -> list:
+    """Config-flag names that appear as ``-flag``/``--flag`` tokens."""
+    names = set(_FLAG_NAMES)
     typed = set()
     for tok in argv:
         if isinstance(tok, str) and tok.startswith("-"):
             name = tok.lstrip("-").split("=")[0]
             if name in names:
                 typed.add(name)
+    return sorted(typed)
+
+
+def get_args_update_dict(cfg: "Config", argv=None) -> dict:
+    """Flags the user explicitly typed on the CLI → ``{name: cfg value}``.
+
+    Parity: ``pycasper.argsUtils.get_args_update_dict`` (SURVEY §1.1), used
+    by the inference CLIs (reference sample.py:10, render.py:24) so explicit
+    CLI overrides survive the checkpoint-args restore.  Without an explicit
+    ``argv``, the typed-flag list recorded by ``argparse_n_loop`` is used —
+    NOT raw ``sys.argv``, which would misread the host process's own tokens
+    (e.g. pytest's ``--tb``) as config overrides; programmatic callers that
+    never went through the CLI therefore get ``{}``."""
+    if argv is None:
+        typed = getattr(cfg, "typed_flags", None) or ()
+    else:
+        typed = _typed_flag_names(argv)
     return {k: getattr(cfg, k) for k in typed if k != "load"}
 
 
 def argparse_n_loop(loop, argv=None):
     """Run ``loop(cfg, exp_index)`` for every permutation of list-valued flags."""
+    import sys
+
     _, perms = get_args_perm(argv)
+    typed = _typed_flag_names(sys.argv[1:] if argv is None else argv)
     for i, perm in enumerate(perms):
         cfg = config_from_dict(perm)
+        cfg.typed_flags = typed  # consumed by get_args_update_dict
         loop(cfg, i)
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -27,6 +28,7 @@ _NATIVE_DIR = Path(__file__).parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libbatcher.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_lib_lock = threading.Lock()  # prefetch workers can race the first build
 
 
 def _build() -> bool:
@@ -41,6 +43,14 @@ def _build() -> bool:
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
+        return _lib
+    with _lib_lock:
+        return _load_lib_locked()
+
+
+def _load_lib_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:  # another thread won the race
         return _lib
     _tried = True
     if not _LIB_PATH.exists() and not _build():

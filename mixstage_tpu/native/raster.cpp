@@ -346,33 +346,40 @@ extern "C" {
 // frames:  (T, H, W, 3) uint8
 // palette: (n_colors, 3) uint8, n_colors <= 256 (padded to 256 in the file)
 // delay_cs: per-frame delay in 1/100 s
+// write_header: nonzero → emit the GIF89a header + global palette +
+//   NETSCAPE loop extension first.  The 1-byte trailer (0x3B) is NOT
+//   written here — the caller appends it after the last chunk, which lets
+//   long clips stream through this function in bounded-memory chunks.
 // out:     caller-allocated output buffer (cap bytes)
 // Returns bytes written, or -1 if out was too small.
 int64_t encode_gif(const uint8_t* frames, int64_t T, int64_t H, int64_t W,
                    const uint8_t* palette, int64_t n_colors,
-                   int64_t delay_cs, uint8_t* out, int64_t cap) {
+                   int64_t delay_cs, int64_t write_header, uint8_t* out,
+                   int64_t cap) {
   ByteSink sink{out, cap};
-  const uint8_t hdr[6] = {'G', 'I', 'F', '8', '9', 'a'};
-  sink.write(hdr, 6);
-  sink.put16((uint16_t)W);
-  sink.put16((uint16_t)H);
-  sink.put(0xF7);  // global color table, 8 bits/pixel, 256 entries
-  sink.put(0);     // background color index
-  sink.put(0);     // aspect
-  for (int i = 0; i < 256; ++i) {
-    if (i < n_colors) {
-      sink.write(palette + i * 3, 3);
-    } else {
-      sink.put(0);
-      sink.put(0);
-      sink.put(0);
+  if (write_header) {
+    const uint8_t hdr[6] = {'G', 'I', 'F', '8', '9', 'a'};
+    sink.write(hdr, 6);
+    sink.put16((uint16_t)W);
+    sink.put16((uint16_t)H);
+    sink.put(0xF7);  // global color table, 8 bits/pixel, 256 entries
+    sink.put(0);     // background color index
+    sink.put(0);     // aspect
+    for (int i = 0; i < 256; ++i) {
+      if (i < n_colors) {
+        sink.write(palette + i * 3, 3);
+      } else {
+        sink.put(0);
+        sink.put(0);
+        sink.put(0);
+      }
     }
+    // NETSCAPE2.0 looping extension (loop forever)
+    const uint8_t netscape[] = {0x21, 0xFF, 0x0B, 'N', 'E', 'T', 'S', 'C',
+                                'A',  'P',  'E',  '2', '.', '0', 0x03, 0x01,
+                                0x00, 0x00, 0x00};
+    sink.write(netscape, sizeof(netscape));
   }
-  // NETSCAPE2.0 looping extension (loop forever)
-  const uint8_t netscape[] = {0x21, 0xFF, 0x0B, 'N', 'E', 'T', 'S', 'C',
-                              'A',  'P',  'E',  '2', '.', '0', 0x03, 0x01,
-                              0x00, 0x00, 0x00};
-  sink.write(netscape, sizeof(netscape));
 
   PaletteMapper mapper(palette, (int)n_colors);
   std::vector<uint8_t> indices((size_t)(H * W));
@@ -399,7 +406,6 @@ int64_t encode_gif(const uint8_t* frames, int64_t T, int64_t H, int64_t W,
     lzw.encode(indices.data(), H * W);
     if (sink.overflow) return -1;
   }
-  sink.put(0x3B);  // trailer
   return sink.overflow ? -1 : sink.n;
 }
 

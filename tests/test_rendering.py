@@ -306,6 +306,9 @@ def test_get_args_update_dict_tracks_typed_flags():
                    "-notaflag", "1"])
     # typed flags captured with cfg values; load and unknowns excluded
     assert upd == {"render": 3, "batch_size": 7}
+
+
+def test_split_text_wraps_at_line_length():
     import pandas as pd
 
     from mixstage_tpu.animation.animation import split_text
@@ -382,3 +385,51 @@ def test_in_modalities_helper():
 
     assert in_modalities("text", ["pose/data", "text/bert"])
     assert not in_modalities("text", ["pose/data", "audio/log_mel_512"])
+
+
+def test_render_streaming_matches_oneshot(tmp_path):
+    """Chunked streaming render (bounded memory) is byte-identical to the
+    one-shot path, captions included."""
+    import pandas as pd
+
+    from mixstage_tpu.animation import raster
+
+    if raster.get_lib() is None:
+        pytest.skip("native raster lib unavailable (no toolchain)")
+    y = np.cumsum(np.random.default_rng(2).normal(size=(50, 2, 52)), 0) * 10
+    text = pd.DataFrame({"Word": [f"w{i}" for i in range(10)],
+                         "start_frame": np.arange(10) * 5,
+                         "end_frame": np.arange(1, 11) * 5})
+    a = tmp_path / "stream.gif"
+    b = tmp_path / "oneshot.gif"
+    raster.render_to_file([y, y], PARENTS, str(a), text=text, panel=128,
+                          chunk_frames=16)
+    raster.render_to_file([y, y], PARENTS, str(b), text=text, panel=128,
+                          chunk_frames=10 ** 9)
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_bookkeeper_restore_does_not_rewrite_args(tmp_path):
+    """Restoring an experiment must not bake inference-time CLI overrides
+    into the stored PREFIX_args.args (advisor-style atomicity of the
+    training record)."""
+    import json
+
+    from mixstage_tpu.bookkeeping import BookKeeper
+    from mixstage_tpu.config import config_from_dict
+
+    cfg = config_from_dict(dict(save_dir=str(tmp_path), exp=1, cpk="m",
+                                speaker="oliver", model="M",
+                                window_hop=5, render=0))
+    book = BookKeeper(cfg)
+    args_file = book.name("args", "args", str(tmp_path))
+    before = open(args_file).read()
+
+    cfg2 = config_from_dict(dict(
+        load=args_file.replace("_args.args", "_weights.p"),
+        save_dir=str(tmp_path)))
+    book2 = BookKeeper(cfg2, args_dict_update={"window_hop": 0, "render": 3})
+    assert book2.args.window_hop == 0 and book2.args.render == 3  # in memory
+    after = open(args_file).read()
+    assert after == before                       # on disk: untouched
+    assert json.loads(after)["window_hop"] == 5
