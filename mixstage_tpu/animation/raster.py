@@ -91,8 +91,8 @@ def _load_lib_locked() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, u8p]
         lib.encode_gif.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
-            ctypes.c_int64]
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64]
         lib.encode_gif.restype = ctypes.c_int64
         _lib = lib
     except OSError:
@@ -289,6 +289,7 @@ class GifWriter:
         self._pal = gif_palette()
         self._file = open(path, "wb") if self.lib is not None else None
         self._header_written = False
+        self._prev: Optional[np.ndarray] = None  # delta-encode across chunks
         self._pil_frames: List = []
 
     def add(self, frames: np.ndarray) -> None:
@@ -299,18 +300,22 @@ class GifWriter:
             self._pil_frames.extend(Image.fromarray(f) for f in frames)
             return
         T, H, W, _ = frames.shape
+        prev = self._prev if self._prev is not None else frames[0]
         cap = T * H * W // 2 + T * 4096 + (1 << 14)
         while True:
             out = np.empty(cap, np.uint8)
             n = self.lib.encode_gif(frames, T, H, W, self._pal,
                                     len(self._pal), self.delay_cs,
-                                    int(not self._header_written), out, cap)
+                                    int(not self._header_written),
+                                    int(self._prev is not None),
+                                    np.ascontiguousarray(prev), out, cap)
             if n >= 0:
                 break
             if cap >= 2 * T * H * W + (1 << 16):
                 raise RuntimeError("gif encode buffer overflow")
             cap *= 2
         self._header_written = True
+        self._prev = frames[-1].copy()
         self._file.write(out[:n].tobytes())
 
     def close(self) -> None:

@@ -350,12 +350,18 @@ extern "C" {
 //   NETSCAPE loop extension first.  The 1-byte trailer (0x3B) is NOT
 //   written here — the caller appends it after the last chunk, which lets
 //   long clips stream through this function in bounded-memory chunks.
+// has_prev/prev_frame: when nonzero, ``prev_frame`` (H*W*3) is the frame
+//   that precedes frames[0] in the SAME gif (the last frame of the previous
+//   chunk) — every frame is then delta-encoded as the bounding rectangle of
+//   pixels that changed vs its predecessor (GIF image descriptors place
+//   sub-rects; disposal "do not dispose" keeps the rest).  When zero,
+//   frames[0] is the first frame of the file and is encoded full-size.
 // out:     caller-allocated output buffer (cap bytes)
 // Returns bytes written, or -1 if out was too small.
 int64_t encode_gif(const uint8_t* frames, int64_t T, int64_t H, int64_t W,
                    const uint8_t* palette, int64_t n_colors,
-                   int64_t delay_cs, int64_t write_header, uint8_t* out,
-                   int64_t cap) {
+                   int64_t delay_cs, int64_t write_header, int64_t has_prev,
+                   const uint8_t* prev_frame, uint8_t* out, int64_t cap) {
   ByteSink sink{out, cap};
   if (write_header) {
     const uint8_t hdr[6] = {'G', 'I', 'F', '8', '9', 'a'};
@@ -385,25 +391,67 @@ int64_t encode_gif(const uint8_t* frames, int64_t T, int64_t H, int64_t W,
   std::vector<uint8_t> indices((size_t)(H * W));
   LzwGifEncoder lzw(&sink);
   for (int64_t t = 0; t < T; ++t) {
-    // graphic control extension (delay, no transparency)
+    const uint8_t* fr = frames + t * H * W * 3;
+    const uint8_t* ref =
+        t > 0 ? frames + (t - 1) * H * W * 3 : (has_prev ? prev_frame : nullptr);
+    // dirty rectangle vs the previous frame (full frame when no reference)
+    int64_t r0 = 0, r1 = H - 1, c0 = 0, c1 = W - 1;
+    if (ref != nullptr) {
+      r0 = H;
+      r1 = -1;
+      c0 = W;
+      c1 = -1;
+      for (int64_t r = 0; r < H; ++r) {
+        const uint8_t* a = fr + r * W * 3;
+        const uint8_t* b = ref + r * W * 3;
+        if (std::memcmp(a, b, (size_t)(W * 3)) == 0) continue;
+        if (r < r0) r0 = r;
+        r1 = r;
+        int64_t c = 0;
+        while (c < c0 && std::memcmp(a + c * 3, b + c * 3, 3) == 0) ++c;
+        if (c < c0) c0 = c;
+        int64_t ce = W - 1;
+        while (ce > c1 && std::memcmp(a + ce * 3, b + ce * 3, 3) == 0) --ce;
+        if (ce > c1) c1 = ce;
+      }
+      if (r1 < r0) {  // identical frame: emit a 1×1 rect to carry the delay
+        r0 = r1 = 0;
+        c0 = c1 = 0;
+      }
+    }
+    const int64_t rw = c1 - c0 + 1, rh = r1 - r0 + 1;
+    // graphic control extension: disposal "do not dispose"; delta frames
+    // additionally declare palette slot 255 transparent so unchanged pixels
+    // inside the rect compress to one long LZW run
+    const uint8_t kTransparent = 255;  // palette is padded past n_colors
     sink.put(0x21);
     sink.put(0xF9);
     sink.put(0x04);
-    sink.put(0x04);  // disposal: do not dispose
+    sink.put(ref != nullptr ? 0x05 : 0x04);
     sink.put16((uint16_t)delay_cs);
-    sink.put(0);  // transparent color index (unused)
+    sink.put(ref != nullptr ? kTransparent : 0);
     sink.put(0);  // terminator
-    // image descriptor
+    // image descriptor: the dirty sub-rectangle
     sink.put(0x2C);
-    sink.put16(0);
-    sink.put16(0);
-    sink.put16((uint16_t)W);
-    sink.put16((uint16_t)H);
+    sink.put16((uint16_t)c0);
+    sink.put16((uint16_t)r0);
+    sink.put16((uint16_t)rw);
+    sink.put16((uint16_t)rh);
     sink.put(0);  // no local color table
-    const uint8_t* fr = frames + t * H * W * 3;
-    for (int64_t p = 0; p < H * W; ++p)
-      indices[p] = mapper.map(fr[p * 3], fr[p * 3 + 1], fr[p * 3 + 2]);
-    lzw.encode(indices.data(), H * W);
+    for (int64_t r = 0; r < rh; ++r) {
+      const uint8_t* row = fr + ((r0 + r) * W + c0) * 3;
+      const uint8_t* refrow =
+          ref != nullptr ? ref + ((r0 + r) * W + c0) * 3 : nullptr;
+      uint8_t* dst = indices.data() + r * rw;
+      for (int64_t c = 0; c < rw; ++c) {
+        if (refrow != nullptr && std::memcmp(row + c * 3, refrow + c * 3, 3) == 0) {
+          dst[c] = kTransparent;  // unchanged: keep the composited pixel
+        } else {
+          dst[c] = mapper.map(row[c * 3], row[c * 3 + 1], row[c * 3 + 2]);
+        }
+      }
+    }
+    lzw.encode(indices.data(), rw * rh);
     if (sink.overflow) return -1;
   }
   return sink.overflow ? -1 : sink.n;
