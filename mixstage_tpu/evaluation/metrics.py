@@ -276,9 +276,10 @@ class PCK:
         for alpha in self.alphas:
             thresh = self.get_thresh(gt, alpha)
             pck = (dist < thresh).astype(np.float64)
+            col_means = pck.mean(axis=0)  # hoisted: one reduce, not J of them
             for jnt in range(self.num_joints):
                 self.avg_meters[f"pck_{alpha}_{jnt}"].update(
-                    pck.mean(axis=0)[jnt], n=B)
+                    col_means[jnt], n=B)
             self.avg_meters[f"pck_{alpha}"].update(pck[:, mask].mean(),
                                                    n=B * len(mask))
         for alpha in self.alphas:

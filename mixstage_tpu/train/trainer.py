@@ -597,9 +597,12 @@ class Trainer:
         self.labels_hist = {kn: {d: {i: np.zeros(self.num_clusters)
                                      for i in range(self.num_styles)}
                                  for d in descs} for kn in kwargs_names}
-        self.labels_hist_tensor = {kn: {d: {i: np.zeros((1, self.num_clusters))
-                                            for i in range(self.num_styles)}
-                                        for d in descs} for kn in kwargs_names}
+        # chunk lists, concatenated once at save time — repeated
+        # np.concatenate would make test-split accumulation O(N²)
+        self.labels_hist_tensor = {
+            kn: {d: {i: [np.zeros((1, self.num_clusters))]
+                     for i in range(self.num_styles)}
+                 for d in descs} for kn in kwargs_names}
 
     def _update_labels(self, labels_cap_soft, desc, style, kwargs_name):
         if self.num_clusters is None or labels_cap_soft is None:
@@ -610,10 +613,9 @@ class Trainer:
             return
         soft = np.asarray(labels_cap_soft).reshape(-1, self.num_clusters)
         if desc == "test":
-            self.labels_hist_tensor[kwargs_name][desc][style] = np.concatenate(
-                [self.labels_hist_tensor[kwargs_name][desc][style], soft], 0)
-        onehot = np.eye(self.num_clusters)[soft.argmax(-1)]
-        self.labels_hist[kwargs_name][desc][style] += onehot.sum(0)
+            self.labels_hist_tensor[kwargs_name][desc][style].append(soft)
+        self.labels_hist[kwargs_name][desc][style] += np.bincount(
+            soft.argmax(-1), minlength=self.num_clusters).astype(np.float64)
 
     def _save_labels(self):
         if self.num_clusters is None:
@@ -625,7 +627,8 @@ class Trainer:
                 for kn in self.labels_hist}
         json.dump(hist, open(self.book.name("histogram", "json",
                                             self.book.save_dir), "w"))
-        tensors = {kn: {d: {speakers[i]: self.labels_hist_tensor[kn][d][i]
+        tensors = {kn: {d: {speakers[i]:
+                            np.concatenate(self.labels_hist_tensor[kn][d][i], 0)
                             for i in self.labels_hist_tensor[kn][d]}
                         for d in ["test", "train", "dev"]}
                    for kn in self.labels_hist_tensor}
