@@ -1,0 +1,76 @@
+"""Serving CLI — restore a checkpointed experiment and serve audio→pose
+over HTTP with dynamic batching.
+
+TPU-native addition (no reference counterpart; the reference's only
+inference surface is the offline sample loop, trainer.py:705-849).
+
+  python -m mixstage_tpu.cli.serve -load <PREFIX_weights.p> \
+      -path2data <data> -batch_size 32 -serve_port 8008
+
+Endpoints: POST /v1/pose (JSON {"audio": (T, mel), "style": id} or npz
+octet-stream), GET /healthz, GET /stats.  The jitted graph has a static
+batch; the DynamicBatcher pads partial micro-batches (see
+mixstage_tpu/serving/server.py).
+"""
+
+from __future__ import annotations
+
+from mixstage_tpu.config import Config, argparse_n_loop
+
+
+def loop(args: Config, exp_num: int):
+    assert args.load, "pass -load <PREFIX_weights.p>"
+    import jax
+    import numpy as np
+
+    from mixstage_tpu.config import get_args_update_dict
+    from mixstage_tpu.serve import build_serving_fn
+    from mixstage_tpu.serving import (DynamicBatcher, PoseService,
+                                      start_http_server)
+    from mixstage_tpu.train.trainer import Trainer
+
+    update = get_args_update_dict(args)
+    update["window_hop"] = 0
+    update["render"] = 0
+    trainer = Trainer(args, ["exp", "cpk", "speaker", "model", "note"],
+                      update)
+    batch = int(trainer.args.batch_size or 32)
+    # multi-chip: shard the serving batch over all local devices (weights
+    # replicated, zero collectives — serve.build_serving_fn mesh mode)
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and batch % n_dev == 0:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+    serve_fn = build_serving_fn(trainer.factory, trainer.state, mesh=mesh)
+
+    def run(audio, style):
+        return serve_fn(audio, np.asarray(style))
+
+    batcher = DynamicBatcher(run, batch_size=batch,
+                             max_wait_ms=float(
+                                 getattr(trainer.args, "serve_wait_ms", None)
+                                 or 5.0))
+    service = PoseService(batcher, backend=jax.default_backend())
+    port = int(getattr(trainer.args, "serve_port", None) or 8008)
+    server = start_http_server(service, port=port, host="0.0.0.0")
+    print(f"serving on :{server.server_address[1]} "
+          f"(backend={jax.default_backend()}, batch={batch})", flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()  # serve until killed
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def main():
+    argparse_n_loop(loop)
+
+
+if __name__ == "__main__":
+    main()

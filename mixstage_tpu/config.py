@@ -158,6 +158,10 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
      "audio conv pyramid relowering plan: 'native' | 'tpu' (best measured) | "
      "8 comma-separated conv|s2d|im2col entries — exact math, same params, "
      "perf-only (layers.resolve_audio_lowerings)"),
+    ("serve_port", int, 8008, "HTTP port for cli.serve (0 = ephemeral)"),
+    ("serve_wait_ms", float, 5.0,
+     "dynamic-batcher gather window for cli.serve (per-request latency "
+     "bound before a partial batch is padded and dispatched)"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

@@ -1,0 +1,220 @@
+"""Production serving endpoint: dynamic batching + HTTP front door.
+
+TPU-native addition with no reference counterpart (the reference's only
+inference surface is the offline ``sample.py`` loop, trainer.py:705-849).
+The jitted serving graph (``serve.build_serving_fn``) has a *static* batch
+size — the natural production shape is therefore a micro-batcher: requests
+queue up, a worker drains up to ``batch_size`` of them (or whatever arrived
+within ``max_wait_ms``), pads to the static shape, runs ONE device call and
+scatters the results.  Padding rides along for free on the MXU; per-request
+latency is bounded by ``max_wait_ms`` + one device step.
+
+The HTTP layer is stdlib (`ThreadingHTTPServer`) so the framework stays
+dependency-free:
+
+* ``POST /v1/pose``   — JSON ``{"audio": [[...T×mel...]], "style": int}`` →
+  ``{"pose": [[...T×feats...]]}``; or ``application/octet-stream`` carrying
+  an ``.npz`` with ``audio``/``style`` → raw ``.npy`` pose bytes.
+* ``GET /healthz``    — liveness + backend + static batch size.
+* ``GET /stats``      — request/batch counters, mean occupancy, latency
+  percentiles.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class DynamicBatcher:
+    """Gather single requests into static-shape device batches.
+
+    ``serve_fn``: ``(audio (B, T, mel), style (B,) int32) -> pose (B, T, F)``
+    with a fixed ``B = batch_size`` (the jitted serving graph's shape).
+    """
+
+    def __init__(self, serve_fn: Callable, batch_size: int,
+                 max_wait_ms: float = 5.0):
+        self.serve_fn = serve_fn
+        self.batch_size = int(batch_size)
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="pose-batcher")
+        # stats
+        self.requests = 0
+        self.batches = 0
+        self.occupancy_sum = 0
+        self.latencies_ms: list = []
+        self._stats_lock = threading.Lock()
+        self._worker.start()
+
+    # ------------------------------------------------------------------ API
+    def submit(self, audio: np.ndarray, style: int) -> Future:
+        """Enqueue one (T, mel) window; resolves to a (T, feats) pose."""
+        fut: Future = Future()
+        self._queue.put((np.asarray(audio, np.float32), int(style), fut,
+                         time.perf_counter()))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            lats = sorted(self.latencies_ms[-4096:])
+            pct = (lambda q: round(lats[int(q * (len(lats) - 1))], 2)) \
+                if lats else (lambda q: None)
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "mean_occupancy": round(self.occupancy_sum
+                                        / max(1, self.batches), 2),
+                "batch_size": self.batch_size,
+                "latency_ms_p50": pct(0.50),
+                "latency_ms_p99": pct(0.99),
+            }
+
+    # --------------------------------------------------------------- worker
+    def _drain(self):
+        """Block for one request, then take whatever else arrives within the
+        wait budget, up to the static batch size."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return None
+        items = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(items) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self):
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            n = len(items)
+            audio = np.stack([it[0] for it in items])
+            style = np.asarray([it[1] for it in items], np.int32)
+            if n < self.batch_size:  # pad to the jitted static shape
+                pad = self.batch_size - n
+                audio = np.concatenate(
+                    [audio, np.repeat(audio[:1], pad, axis=0)])
+                style = np.concatenate([style, np.repeat(style[:1], pad)])
+            try:
+                pose = np.asarray(self.serve_fn(audio, style))
+            except Exception as exc:  # propagate to every waiter
+                for _, _, fut, _ in items:
+                    fut.set_exception(exc)
+                continue
+            now = time.perf_counter()
+            with self._stats_lock:
+                self.requests += n
+                self.batches += 1
+                self.occupancy_sum += n
+                self.latencies_ms.extend(
+                    (now - it[3]) * 1e3 for it in items)
+                del self.latencies_ms[:-8192]
+            for i, (_, _, fut, _) in enumerate(items):
+                fut.set_result(pose[i])
+
+
+class PoseService:
+    """The request-level protocol over a DynamicBatcher."""
+
+    def __init__(self, batcher: DynamicBatcher, backend: str = "unknown",
+                 timeout_s: float = 30.0):
+        self.batcher = batcher
+        self.backend = backend
+        self.timeout_s = timeout_s
+
+    def infer_json(self, payload: dict) -> dict:
+        audio = np.asarray(payload["audio"], np.float32)
+        style = int(payload.get("style", 0))
+        pose = self.batcher.submit(audio, style).result(self.timeout_s)
+        return {"pose": pose.tolist()}
+
+    def infer_npz(self, body: bytes) -> bytes:
+        with np.load(io.BytesIO(body)) as z:
+            audio = z["audio"].astype(np.float32)
+            style = int(z["style"]) if "style" in z else 0
+        pose = self.batcher.submit(audio, style).result(self.timeout_s)
+        buf = io.BytesIO()
+        np.save(buf, pose)
+        return buf.getvalue()
+
+    def healthz(self) -> dict:
+        return {"ok": True, "backend": self.backend,
+                "batch_size": self.batcher.batch_size}
+
+
+def _make_handler(service: PoseService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json(200, service.healthz())
+            elif self.path == "/stats":
+                self._send_json(200, service.batcher.stats())
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/pose":
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                if self.headers.get("Content-Type", "").startswith(
+                        "application/octet-stream"):
+                    out = service.infer_npz(body)
+                    self._send(200, out, "application/octet-stream")
+                else:
+                    self._send_json(200, service.infer_json(
+                        json.loads(body.decode())))
+            except Exception as exc:  # noqa: BLE001 — surface to the client
+                self._send_json(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def start_http_server(service: PoseService, port: int = 0,
+                      host: str = "127.0.0.1"):
+    """Start the HTTP front door on a daemon thread; returns the server
+    (``server.server_address[1]`` is the bound port — pass ``port=0`` for an
+    ephemeral one)."""
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    thread = threading.Thread(target=server.serve_forever, daemon=True,
+                              name="pose-http")
+    thread.start()
+    return server

@@ -1,0 +1,197 @@
+"""Serving endpoint tests: dynamic batcher + HTTP front door.
+
+TPU-native addition (SURVEY.md north star mentions production serving; the
+reference has no online inference surface).  The jitted serving graph has a
+static batch — these tests pin the micro-batching semantics (gather window,
+padding, scatter, error propagation) and the stdlib HTTP protocol.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mixstage_tpu.serving import (DynamicBatcher, PoseService,
+                                  start_http_server)
+
+T_MEL, MEL, FEATS = 8, 6, 4
+
+
+def fake_serve(calls):
+    """pose[b] = audio[b] summed per row, tiled to FEATS — per-request
+    identifiable so scatter order is checkable."""
+    def fn(audio, style):
+        calls.append((audio.shape, tuple(style.tolist())))
+        base = audio.sum(-1, keepdims=True)          # (B, T, 1)
+        return base + style[:, None, None] * 1000.0  # broadcast to (B, T, 1)
+    return fn
+
+
+def test_batcher_batches_pads_and_scatters():
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=4, max_wait_ms=50.0)
+    try:
+        audios = [np.full((T_MEL, MEL), i, np.float32) for i in range(5)]
+        futs = [b.submit(a, style=i) for i, a in enumerate(audios)]
+        results = [f.result(10) for f in futs]
+        for i, r in enumerate(results):
+            expect = i * MEL + i * 1000.0
+            np.testing.assert_allclose(r[:, 0], expect)
+        # every device call used the static batch shape
+        assert all(shape == (4, T_MEL, MEL) for shape, _ in calls)
+        st = b.stats()
+        assert st["requests"] == 5
+        assert st["batches"] >= 2          # 5 requests can't fit one batch of 4
+        assert st["latency_ms_p50"] is not None
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_errors():
+    def boom(audio, style):
+        raise RuntimeError("device on fire")
+
+    b = DynamicBatcher(boom, batch_size=2, max_wait_ms=1.0)
+    try:
+        fut = b.submit(np.zeros((T_MEL, MEL), np.float32), 0)
+        with pytest.raises(RuntimeError, match="device on fire"):
+            fut.result(10)
+    finally:
+        b.close()
+
+
+def test_batcher_single_request_latency_bounded():
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=32, max_wait_ms=20.0)
+    try:
+        t0 = time.perf_counter()
+        r = b.submit(np.ones((T_MEL, MEL), np.float32), 0).result(10)
+        wall = time.perf_counter() - t0
+        assert r.shape[0] == T_MEL
+        assert wall < 5.0  # gather window + dispatch, not forever
+        assert calls[0][0] == (32, T_MEL, MEL)  # padded to static shape
+    finally:
+        b.close()
+
+
+@pytest.fixture
+def http_service():
+    calls = []
+    batcher = DynamicBatcher(fake_serve(calls), batch_size=4, max_wait_ms=2.0)
+    service = PoseService(batcher, backend="cpu-test")
+    server = start_http_server(service, port=0)
+    port = server.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+    batcher.close()
+
+
+def test_http_pose_json_and_health(http_service):
+    audio = np.ones((T_MEL, MEL)).tolist()
+    req = urllib.request.Request(
+        http_service + "/v1/pose",
+        data=json.dumps({"audio": audio, "style": 2}).encode(),
+        headers={"Content-Type": "application/json"})
+    out = json.loads(urllib.request.urlopen(req, timeout=10).read())
+    np.testing.assert_allclose(np.asarray(out["pose"])[:, 0],
+                               MEL + 2 * 1000.0)
+
+    health = json.loads(urllib.request.urlopen(
+        http_service + "/healthz", timeout=10).read())
+    assert health["ok"] and health["batch_size"] == 4
+
+    stats = json.loads(urllib.request.urlopen(
+        http_service + "/stats", timeout=10).read())
+    assert stats["requests"] >= 1
+
+
+def test_http_pose_npz_binary(http_service):
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, audio=np.full((T_MEL, MEL), 3.0, np.float32), style=1)
+    req = urllib.request.Request(
+        http_service + "/v1/pose", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"})
+    body = urllib.request.urlopen(req, timeout=10).read()
+    pose = np.load(io.BytesIO(body))
+    np.testing.assert_allclose(pose[:, 0], 3.0 * MEL + 1000.0)
+
+
+def test_http_bad_request_is_400(http_service):
+    req = urllib.request.Request(
+        http_service + "/v1/pose", data=b"{not json",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
+
+
+def test_http_concurrent_requests_batch_together(http_service):
+    audio = json.dumps({"audio": np.ones((T_MEL, MEL)).tolist(),
+                        "style": 0}).encode()
+    results = []
+
+    def hit():
+        req = urllib.request.Request(
+            http_service + "/v1/pose", data=audio,
+            headers={"Content-Type": "application/json"})
+        results.append(json.loads(
+            urllib.request.urlopen(req, timeout=15).read()))
+
+    threads = [threading.Thread(target=hit) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    stats = json.loads(urllib.request.urlopen(
+        http_service + "/stats", timeout=10).read())
+    # batching actually happened: fewer device calls than requests
+    assert stats["batches"] < stats["requests"]
+
+
+@pytest.mark.slow
+def test_batcher_over_real_serving_fn():
+    """End to end over the real jitted serving path (CPU): batched-with-
+    padding answers match a direct full-batch serve call."""
+    import jax
+    import jax.numpy as jnp
+
+    from mixstage_tpu.serve import build_serving_fn
+    from mixstage_tpu.train.steps import StepConfig, StepFactory
+
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=4, num_speakers=2)
+    factory = StepFactory(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    B, T = 4, 64
+    batch = {
+        "x": (jnp.asarray(rng.normal(size=(B, T, 128)), jnp.float32),),
+        "y": jnp.asarray(rng.normal(size=(B, T, 96)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 4, size=(B, T))),
+        "style": jnp.asarray(np.zeros((B, T)), jnp.int32),
+    }
+    state = factory.init(jax.random.key(0), batch)
+    serve = build_serving_fn(factory, state, use_pallas=False)
+
+    audio = np.asarray(rng.normal(size=(B, T, 128)), np.float32)
+    styles = np.asarray([0, 1, 0, 1], np.int32)
+    ref = np.asarray(serve(jnp.asarray(audio), jnp.asarray(styles)))
+
+    batcher = DynamicBatcher(
+        lambda a, s: serve(jnp.asarray(a), jnp.asarray(s)),
+        batch_size=B, max_wait_ms=50.0)
+    try:
+        futs = [batcher.submit(audio[i], int(styles[i])) for i in range(3)]
+        got = [f.result(120) for f in futs]  # 3 requests → padded batch of 4
+        for i in range(3):
+            np.testing.assert_allclose(got[i], ref[i], rtol=1e-5, atol=1e-5)
+    finally:
+        batcher.close()
