@@ -404,8 +404,10 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"bf16 serving unavailable ({e})")
     if hasattr(serve, "jitted"):
+        style_arg = (serve.style_weights(style32, audio32)
+                     if hasattr(serve, "style_weights") else style32)
         serve_flops = flops_of(serve.jitted, *serve.bound_args,
-                               audio32, style32)
+                               audio32, style_arg)
     else:
         serve_flops = flops_of(serve, audio32, style32)
     serve_tflops = (serve_flops / serve32_sec / 1e12) if serve_flops else None

@@ -52,7 +52,8 @@ def loop(args: Config, exp_num: int):
                              max_wait_ms=float(
                                  getattr(trainer.args, "serve_wait_ms", None)
                                  or 5.0))
-    service = PoseService(batcher, backend=jax.default_backend())
+    service = PoseService(batcher, backend=jax.default_backend(),
+                          num_styles=trainer.factory.cfg.num_speakers)
     port = int(getattr(trainer.args, "serve_port", None) or 8008)
     server = start_http_server(service, port=port, host="0.0.0.0")
     print(f"serving on :{server.server_address[1]} "

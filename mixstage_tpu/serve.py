@@ -163,10 +163,12 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
     G = cfg.num_clusters
     C0p = fd["w0"].shape[2]
 
-    def serve_body(gen_params, gen_bstats, fd, fc, audio, style_ids):
+    def serve_body(gen_params, gen_bstats, fd, fc, audio, style_w):
         B, T = audio.shape[0], audio.shape[1]
-        sw = jax.nn.one_hot(style_ids, cfg.num_speakers,
-                            dtype=audio.dtype)[:, None, :].repeat(T, axis=1)
+        # style_w: (B, num_speakers) mixture weights — a one-hot row is the
+        # hard-id case; soft rows give online style mixtures (the reference's
+        # -mix semantics, argsUtils/-mix + EmbLin 'lin' mode)
+        sw = style_w[:, None, :].repeat(T, axis=1)
         y_dummy = jnp.zeros((B, T, cfg.out_feats), audio.dtype)
         variables = {"params": gen_params, "batch_stats": gen_bstats}
         common = dict(input_modalities=list(cfg.input_modalities),
@@ -190,10 +192,20 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
             logits = folded_decoder_xla(x, {**fd, "c0": c0}, G)
         return index_select_outputs(logits, soft, G)
 
+    def _style_weights(style, audio):
+        """(B,) int ids → one-hot weights; (B, S) float rows pass through."""
+        style = jnp.asarray(style)
+        if style.ndim == 1:
+            return jax.nn.one_hot(style.astype(jnp.int32), cfg.num_speakers,
+                                  dtype=audio.dtype)
+        return style.astype(audio.dtype)
+
     if mesh is None:
         serve = jax.jit(serve_body)
-        fn = lambda audio, style_ids: serve(gen_params, gen_bstats, fd, fc,  # noqa: E731
-                                            audio, style_ids)
+
+        def fn(audio, style_ids):
+            return serve(gen_params, gen_bstats, fd, fc, audio,
+                         _style_weights(style_ids, audio))
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -211,11 +223,14 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
             assert audio.shape[0] % n == 0, (
                 f"DP serving: batch {audio.shape[0]} must divide the "
                 f"{n}-device '{axis}' mesh axis")
-            return serve(gen_params, gen_bstats, fd, fc, audio, style_ids)
+            return serve(gen_params, gen_bstats, fd, fc, audio,
+                         _style_weights(style_ids, audio))
 
-    # expose the jitted inner fn + bound weights for cost analysis (bench.py)
+    # expose the jitted inner fn + bound weights for cost analysis (bench.py);
+    # the inner body takes (B, S) style WEIGHTS — style_weights converts ids
     fn.jitted = serve
     fn.bound_args = (gen_params, gen_bstats, fd, fc)
+    fn.style_weights = _style_weights
     return fn
 
 

@@ -59,10 +59,17 @@ class DynamicBatcher:
         self._worker.start()
 
     # ------------------------------------------------------------------ API
-    def submit(self, audio: np.ndarray, style: int) -> Future:
-        """Enqueue one (T, mel) window; resolves to a (T, feats) pose."""
+    def submit(self, audio: np.ndarray, style) -> Future:
+        """Enqueue one (T, mel) window; resolves to a (T, feats) pose.
+
+        ``style``: a scalar id, or a (num_styles,) float vector of mixture
+        weights — all requests of one server must use the same form so
+        batches stack."""
         fut: Future = Future()
-        self._queue.put((np.asarray(audio, np.float32), int(style), fut,
+        style = np.asarray(style)
+        if style.ndim == 0:
+            style = int(style)
+        self._queue.put((np.asarray(audio, np.float32), style, fut,
                          time.perf_counter()))
         return fut
 
@@ -112,12 +119,17 @@ class DynamicBatcher:
                 continue
             n = len(items)
             audio = np.stack([it[0] for it in items])
-            style = np.asarray([it[1] for it in items], np.int32)
+            styles = [it[1] for it in items]
+            style = (np.asarray(styles, np.int32)
+                     if all(np.ndim(s) == 0 for s in styles)
+                     else np.stack([np.asarray(s, np.float32)
+                                    for s in styles]))
             if n < self.batch_size:  # pad to the jitted static shape
                 pad = self.batch_size - n
                 audio = np.concatenate(
                     [audio, np.repeat(audio[:1], pad, axis=0)])
-                style = np.concatenate([style, np.repeat(style[:1], pad)])
+                style = np.concatenate(
+                    [style, np.repeat(style[:1], pad, axis=0)])
             try:
                 pose = np.asarray(self.serve_fn(audio, style))
             except Exception as exc:  # propagate to every waiter
@@ -140,21 +152,36 @@ class PoseService:
     """The request-level protocol over a DynamicBatcher."""
 
     def __init__(self, batcher: DynamicBatcher, backend: str = "unknown",
-                 timeout_s: float = 30.0):
+                 timeout_s: float = 30.0, num_styles: Optional[int] = None):
         self.batcher = batcher
         self.backend = backend
         self.timeout_s = timeout_s
+        # when known, scalar style ids are one-hot encoded so hard ids and
+        # soft mixture weights can share one server (uniform batch shapes)
+        self.num_styles = num_styles
+
+    def _style(self, style):
+        arr = np.asarray(style)
+        if arr.ndim == 0:
+            if self.num_styles is None:
+                return int(arr)
+            return np.eye(self.num_styles, dtype=np.float32)[int(arr)]
+        if self.num_styles is not None and arr.shape != (self.num_styles,):
+            raise ValueError(f"style mixture must have {self.num_styles} "
+                             f"weights, got shape {arr.shape}")
+        return arr.astype(np.float32)
 
     def infer_json(self, payload: dict) -> dict:
         audio = np.asarray(payload["audio"], np.float32)
-        style = int(payload.get("style", 0))
+        style = self._style(payload.get("style", 0))
         pose = self.batcher.submit(audio, style).result(self.timeout_s)
         return {"pose": pose.tolist()}
 
     def infer_npz(self, body: bytes) -> bytes:
         with np.load(io.BytesIO(body)) as z:
             audio = z["audio"].astype(np.float32)
-            style = int(z["style"]) if "style" in z else 0
+            style = self._style(z["style"]) if "style" in z else \
+                self._style(0)
         pose = self.batcher.submit(audio, style).result(self.timeout_s)
         buf = io.BytesIO()
         np.save(buf, pose)

@@ -157,6 +157,50 @@ def test_http_concurrent_requests_batch_together(http_service):
     assert stats["batches"] < stats["requests"]
 
 
+def test_http_soft_style_mixture():
+    """With num_styles set, scalar ids one-hot encode and mixture-weight
+    lists ride through — both shapes batch together."""
+    calls = []
+
+    def soft_serve(audio, style):  # style arrives as (B, S) weights
+        calls.append(style.shape)
+        return audio.sum(-1, keepdims=True) + style[:, :1, None] * 100.0
+
+    batcher = DynamicBatcher(soft_serve, batch_size=2, max_wait_ms=20.0)
+    service = PoseService(batcher, num_styles=3)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        audio = np.zeros((T_MEL, MEL)).tolist()
+
+        def post(style):
+            req = urllib.request.Request(
+                base + "/v1/pose",
+                data=json.dumps({"audio": audio, "style": style}).encode(),
+                headers={"Content-Type": "application/json"})
+            return np.asarray(json.loads(
+                urllib.request.urlopen(req, timeout=15).read())["pose"])
+
+        hard = post(0)                       # id 0 → one-hot [1,0,0]
+        soft = post([0.5, 0.5, 0.0])         # mixture weights
+        np.testing.assert_allclose(hard[:, 0], 100.0)
+        np.testing.assert_allclose(soft[:, 0], 50.0)
+        assert all(s == (2, 3) for s in calls)
+        # wrong-length mixture → 400
+        req = urllib.request.Request(
+            base + "/v1/pose",
+            data=json.dumps({"audio": audio, "style": [1.0, 0.0]}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=15)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
 @pytest.mark.slow
 def test_batcher_over_real_serving_fn():
     """End to end over the real jitted serving path (CPU): batched-with-
@@ -195,3 +239,13 @@ def test_batcher_over_real_serving_fn():
             np.testing.assert_allclose(got[i], ref[i], rtol=1e-5, atol=1e-5)
     finally:
         batcher.close()
+
+    # soft style weights: one-hot rows == hard ids exactly; a mixture is a
+    # distinct, finite output (online -mix semantics)
+    onehot = np.eye(2, dtype=np.float32)[styles]
+    np.testing.assert_array_equal(
+        np.asarray(serve(jnp.asarray(audio), jnp.asarray(onehot))), ref)
+    mix = np.full((B, 2), 0.5, np.float32)
+    pose_mix = np.asarray(serve(jnp.asarray(audio), jnp.asarray(mix)))
+    assert np.isfinite(pose_mix).all()
+    assert not np.allclose(pose_mix, ref)
