@@ -48,12 +48,20 @@ def loop(args: Config, exp_num: int):
     def run(audio, style):
         return serve_fn(audio, np.asarray(style))
 
-    batcher = DynamicBatcher(run, batch_size=batch,
-                             max_wait_ms=float(
-                                 getattr(trainer.args, "serve_wait_ms", None)
-                                 or 5.0))
+    wait_ms = float(getattr(trainer.args, "serve_wait_ms", None) or 5.0)
+    batcher = DynamicBatcher(run, batch_size=batch, max_wait_ms=wait_ms)
+    # raw-16kHz endpoint when the model consumes the log_mel_400 frontend
+    wav_batcher = None
+    if "audio/log_mel_400" in trainer.factory.cfg.input_modalities:
+        from mixstage_tpu.serve import build_waveform_serving_fn
+
+        wav_fn = build_waveform_serving_fn(trainer.factory, trainer.state)
+        wav_batcher = DynamicBatcher(
+            lambda a, s: wav_fn(a, np.asarray(s)), batch_size=batch,
+            max_wait_ms=wait_ms)
     service = PoseService(batcher, backend=jax.default_backend(),
-                          num_styles=trainer.factory.cfg.num_speakers)
+                          num_styles=trainer.factory.cfg.num_speakers,
+                          waveform_batcher=wav_batcher)
     port = int(getattr(trainer.args, "serve_port", None) or 8008)
     server = start_http_server(service, port=port, host="0.0.0.0")
     print(f"serving on :{server.server_address[1]} "
@@ -67,6 +75,8 @@ def loop(args: Config, exp_num: int):
     finally:
         server.shutdown()
         batcher.close()
+        if wav_batcher is not None:
+            wav_batcher.close()
 
 
 def main():

@@ -152,13 +152,24 @@ class PoseService:
     """The request-level protocol over a DynamicBatcher."""
 
     def __init__(self, batcher: DynamicBatcher, backend: str = "unknown",
-                 timeout_s: float = 30.0, num_styles: Optional[int] = None):
+                 timeout_s: float = 30.0, num_styles: Optional[int] = None,
+                 waveform_batcher: Optional[DynamicBatcher] = None):
         self.batcher = batcher
         self.backend = backend
         self.timeout_s = timeout_s
         # when known, scalar style ids are one-hot encoded so hard ids and
         # soft mixture weights can share one server (uniform batch shapes)
         self.num_styles = num_styles
+        # optional raw-16kHz endpoint over serve.build_waveform_serving_fn
+        self.waveform_batcher = waveform_batcher
+
+    def _pick(self, waveform: bool) -> DynamicBatcher:
+        if waveform:
+            if self.waveform_batcher is None:
+                raise LookupError("waveform endpoint not configured "
+                                  "(model must use audio/log_mel_400)")
+            return self.waveform_batcher
+        return self.batcher
 
     def _style(self, style):
         arr = np.asarray(style)
@@ -171,18 +182,20 @@ class PoseService:
                              f"weights, got shape {arr.shape}")
         return arr.astype(np.float32)
 
-    def infer_json(self, payload: dict) -> dict:
+    def infer_json(self, payload: dict, waveform: bool = False) -> dict:
         audio = np.asarray(payload["audio"], np.float32)
         style = self._style(payload.get("style", 0))
-        pose = self.batcher.submit(audio, style).result(self.timeout_s)
+        pose = self._pick(waveform).submit(audio, style).result(
+            self.timeout_s)
         return {"pose": pose.tolist()}
 
-    def infer_npz(self, body: bytes) -> bytes:
+    def infer_npz(self, body: bytes, waveform: bool = False) -> bytes:
         with np.load(io.BytesIO(body)) as z:
             audio = z["audio"].astype(np.float32)
             style = self._style(z["style"]) if "style" in z else \
                 self._style(0)
-        pose = self.batcher.submit(audio, style).result(self.timeout_s)
+        pose = self._pick(waveform).submit(audio, style).result(
+            self.timeout_s)
         buf = io.BytesIO()
         np.save(buf, pose)
         return buf.getvalue()
@@ -216,19 +229,20 @@ def _make_handler(service: PoseService):
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/v1/pose":
+            if self.path not in ("/v1/pose", "/v1/pose_from_waveform"):
                 self._send_json(404, {"error": f"unknown path {self.path}"})
                 return
+            waveform = self.path.endswith("waveform")
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
                 if self.headers.get("Content-Type", "").startswith(
                         "application/octet-stream"):
-                    out = service.infer_npz(body)
+                    out = service.infer_npz(body, waveform=waveform)
                     self._send(200, out, "application/octet-stream")
                 else:
                     self._send_json(200, service.infer_json(
-                        json.loads(body.decode())))
+                        json.loads(body.decode()), waveform=waveform))
             except Exception as exc:  # noqa: BLE001 — surface to the client
                 self._send_json(400, {"error": f"{type(exc).__name__}: {exc}"})
 

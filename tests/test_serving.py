@@ -201,6 +201,50 @@ def test_http_soft_style_mixture():
         batcher.close()
 
 
+def test_http_waveform_endpoint_routing():
+    """/v1/pose_from_waveform routes to the waveform batcher; a server
+    without one answers 400 with a clear error."""
+    calls_mel, calls_wav = [], []
+    mel_b = DynamicBatcher(fake_serve(calls_mel), batch_size=2,
+                           max_wait_ms=2.0)
+    wav_b = DynamicBatcher(fake_serve(calls_wav), batch_size=2,
+                           max_wait_ms=2.0)
+    service = PoseService(mel_b, waveform_batcher=wav_b)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        body = json.dumps({"audio": np.ones((T_MEL, MEL)).tolist(),
+                           "style": 0}).encode()
+        for path in ("/v1/pose", "/v1/pose_from_waveform"):
+            req = urllib.request.Request(
+                base + path, data=body,
+                headers={"Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=15).read()
+        assert len(calls_mel) == 1 and len(calls_wav) == 1
+    finally:
+        server.shutdown()
+        mel_b.close()
+        wav_b.close()
+
+    # not configured → 400 with the configuration hint
+    b2 = DynamicBatcher(fake_serve([]), batch_size=2, max_wait_ms=2.0)
+    server2 = start_http_server(PoseService(b2), port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server2.server_address[1]}"
+            "/v1/pose_from_waveform", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=15)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "not configured" in json.loads(e.read())["error"]
+    finally:
+        server2.shutdown()
+        b2.close()
+
+
 @pytest.mark.slow
 def test_batcher_over_real_serving_fn():
     """End to end over the real jitted serving path (CPU): batched-with-
