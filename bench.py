@@ -150,6 +150,57 @@ def bench_scan(factory, B, k, seed0=100, reps=3, chain=8):
     return sec_per_call / k, scan_fn, (holder["state"], stacked, coins, rngs)
 
 
+def bench_serving_endpoint(serve, audio32, n_clients: int = 8,
+                           per_client: int = 24):
+    """Production serving path: the DynamicBatcher over the live TPU serving
+    fn under concurrent single-window clients — request latency (p50/p99),
+    achieved occupancy, and end-to-end request rate through the batching
+    layer (mixstage_tpu/serving/server.py)."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from mixstage_tpu.serving import DynamicBatcher
+
+    audio_np = np.asarray(audio32)
+
+    def run(a, s):
+        return np.asarray(serve(jnp.asarray(a), s))
+
+    batcher = DynamicBatcher(run, batch_size=audio_np.shape[0],
+                             max_wait_ms=2.0)
+    try:
+        batcher.submit(audio_np[0], 0).result(300)  # warm-up / compile reuse
+        t0 = time.perf_counter()
+
+        def client(i):
+            for k in range(per_client):
+                batcher.submit(audio_np[(i + k) % len(audio_np)],
+                               0).result(300)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        st = batcher.stats()
+        out = {
+            "endpoint_requests_per_sec": round(
+                n_clients * per_client / wall, 1),
+            "endpoint_latency_ms_p50": st["latency_ms_p50"],
+            "endpoint_latency_ms_p99": st["latency_ms_p99"],
+            "endpoint_mean_batch_occupancy": st["mean_occupancy"],
+        }
+        log(f"serving endpoint: {out['endpoint_requests_per_sec']} req/s, "
+            f"p50 {out['endpoint_latency_ms_p50']} ms, occupancy "
+            f"{out['endpoint_mean_batch_occupancy']}/{audio_np.shape[0]}")
+        return out
+    finally:
+        batcher.close()
+
+
 def bench_sampling():
     """Sampling/style-transfer path (VERDICT r2 item 3): whole-interval
     bucketed inference (train/sampling.py::sample_loop) + the full host
@@ -425,6 +476,12 @@ def main():
         log(f"sampling bench unavailable ({e})")
         sampling_extras = {}
 
+    try:
+        endpoint_extras = bench_serving_endpoint(serve, audio32)
+    except Exception as e:  # noqa: BLE001 — never risk the headline
+        log(f"serving-endpoint bench unavailable ({e})")
+        endpoint_extras = {}
+
     print(json.dumps({
         "metric": "mixstage_gan_train_pose_frames_per_sec_per_chip_bs32",
         "value": round(headline_fps, 1),
@@ -457,7 +514,8 @@ def main():
                 if serve_tflops else None,
             "n_chips": n_chips,
             "reference_frames_per_sec_cpu": round(ref, 1),
-            **sampling_extras},
+            **sampling_extras,
+            **endpoint_extras},
     }))
 
 
