@@ -205,6 +205,52 @@ def test_native_gif_encoder_roundtrip(tmp_path):
         np.testing.assert_array_equal(dec, pal[d.argmin(-1)])
 
 
+def test_native_gif_encoder_fuzz_random_noise(tmp_path):
+    """Adversarial LZW input: random palette-color noise fills the 4096-code
+    dictionary repeatedly (clear-code path) and defeats the delta encoder's
+    dirty-rect optimization — decode must still be exact."""
+    from PIL import Image
+
+    from mixstage_tpu.animation import raster
+
+    if raster.get_lib() is None:
+        pytest.skip("native raster lib unavailable (no toolchain)")
+    rng = np.random.default_rng(7)
+    pal = raster.gif_palette()
+    idx = rng.integers(0, len(pal), size=(4, 64, 64))
+    frames = pal[idx]  # exact palette colors → decode must match bit-for-bit
+    # make frame 2 identical to frame 1 (empty dirty rect → 1×1 carrier)
+    frames[2] = frames[1]
+    path = str(tmp_path / "noise.gif")
+    raster.write_gif(frames, path, fps=10)
+    im = Image.open(path)
+    assert im.n_frames == 4
+    for t in range(4):
+        im.seek(t)
+        np.testing.assert_array_equal(np.asarray(im.convert("RGB")),
+                                      frames[t])
+
+
+def test_gif_writer_pil_fallback(tmp_path, monkeypatch):
+    """Without the native lib the GifWriter buffers frames and PIL writes at
+    close — same file contract."""
+    from PIL import Image
+
+    from mixstage_tpu.animation import raster
+
+    monkeypatch.setattr(raster, "get_lib", lambda: None)
+    writer = raster.GifWriter(str(tmp_path / "fb.gif"), fps=10)
+    assert writer.lib is None
+    frames = np.full((3, 32, 32, 3), 255, np.uint8)
+    for t in range(3):  # distinct frames (PIL merges identical ones)
+        frames[t, 8 + t:12 + t, 8:12] = [31, 119, 180]
+    writer.add(frames[:2])
+    writer.add(frames[2:])
+    writer.close()
+    im = Image.open(tmp_path / "fb.gif")
+    assert im.n_frames == 3
+
+
 def test_animate_native_backend_writes_gif(tmp_path, monkeypatch):
     import pandas as pd
     from PIL import Image
