@@ -362,3 +362,38 @@ def test_skeleton_raw_preprocessing_pipeline(tmp_path):
     os.remove(fl1[3])
     assert sk.get_filelist(ids[1]) is None
     assert sk.get_filelist(ids[0]) is not None
+
+
+def test_data_sample_view_reads_predicted_keypoints(tmp_path):
+    """DataSample (reference dataUtils.py:618-655): the h5 tree is an
+    experiment's predicted-keypoints view; intervals whose prediction file
+    is missing are silently dropped."""
+    from mixstage_tpu.data.dataset import DataSample
+    from mixstage_tpu.data.hdf5 import HDF5
+    from mixstage_tpu.data.synthetic import make_synthetic_dataset
+
+    make_synthetic_dataset(str(tmp_path / "pats"), ["oliver"],
+                           num_intervals_per_speaker=3)
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "pats" / "cmu_intervals_df.csv", dtype=str)
+    view = tmp_path / "view"
+    written = []
+    for _, row in df.iterrows():
+        if row.dataset != "test":   # leave the test interval missing
+            p = view / "keypoints" / row.dataset / "oliver" / f"{row.interval_id}.h5"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            HDF5.append(p.as_posix(), "pose/data",
+                        np.cumsum(np.random.default_rng(0).normal(
+                            size=(375, 104)), 0))
+            written.append(row.interval_id)
+
+    ds = DataSample(str(tmp_path / "pats"), ["oliver"], view=str(view),
+                    modalities=["pose/data"], fs_new=[15], window_hop=0,
+                    batch_size=2, shuffle=False)
+    # only the intervals with an existing prediction file became datasets
+    n = sum(len(ds.datasets[d].datasets) for d in ("train", "dev", "test"))
+    assert n == len(written) == 2
+    batch = next(iter(ds.train))
+    assert batch["pose/data"].shape[-1] == 104
+    assert str(batch["meta"]["interval_id"][0]) in written
