@@ -121,6 +121,16 @@ def test_http_pose_npz_binary(http_service):
     np.testing.assert_allclose(pose[:, 0], 3.0 * MEL + 1000.0)
 
 
+def test_pose_client_roundtrip(http_service):
+    from mixstage_tpu.serving import PoseClient
+
+    client = PoseClient(http_service)
+    assert client.health()["ok"]
+    pose = client.pose(np.full((T_MEL, MEL), 2.0, np.float32), style=1)
+    np.testing.assert_allclose(pose[:, 0], 2.0 * MEL + 1000.0)
+    assert client.stats()["requests"] >= 1
+
+
 def test_http_bad_request_is_400(http_service):
     req = urllib.request.Request(
         http_service + "/v1/pose", data=b"{not json",
