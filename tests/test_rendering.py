@@ -479,3 +479,55 @@ def test_bookkeeper_restore_does_not_rewrite_args(tmp_path):
     after = open(args_file).read()
     assert after == before                       # on disk: untouched
     assert json.loads(after)["window_hop"] == 5
+
+
+def test_save_animation_thread_fanout(tmp_path, monkeypatch):
+    """save_animation (reference animation.py:304-333) renders every
+    interval through the joblib thread map; files land per split/speaker."""
+    from mixstage_tpu.animation.animation import save_animation
+
+    class FakeModality:
+        parents = PARENTS
+
+    class FakeData:
+        path2data = "/nonexistent"
+        modality_classes = {"pose/data": FakeModality()}
+
+        def getSpeaker(self, interval_id):
+            return "oliver"
+
+    monkeypatch.setenv("MIXSTAGE_RENDER_BACKEND", "native")
+    rng = np.random.default_rng(0)
+    ys = [np.cumsum(rng.normal(size=(6, 2, 52)), 0) * 10 for _ in range(3)]
+    save_animation(ys, ["11", "22", "33"], str(tmp_path), "dev", FakeData(),
+                   idx=0, subname=None)
+    for iid in ("11", "22", "33"):
+        out = tmp_path / "render" / "dev" / "oliver" / f"{iid}_000.gif"
+        assert out.exists() and out.stat().st_size > 0
+
+
+def test_render_ground_truth(tmp_path, monkeypatch):
+    """render_ground_truth (reference animation.py:345-415): GT intervals →
+    render_gt/<split>/<speaker> clips, captions only when a text modality is
+    configured."""
+    from types import SimpleNamespace
+
+    from mixstage_tpu.animation.animation import render_ground_truth
+    from mixstage_tpu.data.synthetic import make_synthetic_dataset
+
+    data_dir = tmp_path / "pats"
+    # intervals must cover the 4.3 s / 64-frame window (time * fs)
+    make_synthetic_dataset(str(data_dir), ["oliver"],
+                           num_intervals_per_speaker=3, interval_seconds=6.0)
+    monkeypatch.setenv("MIXSTAGE_RENDER_BACKEND", "native")
+    args = SimpleNamespace(
+        path2data=str(data_dir), speaker=["oliver"],
+        modalities=["pose/data", "audio/log_mel_512"], fs_new=[15, 15],
+        time=4.3, split=None, batch_size=4, shuffle=0,
+        output_modalities=["pose/data"],
+        path2outdata=str(tmp_path / "out"))
+    render_ground_truth(args, 0)
+    gifs = list((tmp_path / "out").rglob("*.gif"))
+    assert len(gifs) >= 1
+    # files live under <speaker>/render_gt/<split>/<speaker>
+    assert any("render_gt" in p.as_posix() for p in gifs)
