@@ -325,6 +325,26 @@ class BookKeeper:
                 os.rename(opath + ".old", opath)
             if os.path.isdir(opath):
                 return self._load_orbax(state, opath)
+        from mixstage_tpu.interop.torch_import import sniff_torch_file
+        if sniff_torch_file(path):
+            # a REFERENCE (pytorch/pycasper) checkpoint: convert its
+            # state_dict into our trees so `-load` on any CLI accepts
+            # experiments trained with chahuja/mix-stage directly
+            from mixstage_tpu.interop.torch_import import (
+                convert_reference_checkpoint, load_torch_state_dict)
+            sd = load_torch_state_dict(path)
+            converted, report = convert_reference_checkpoint(
+                sd, self._state_to_ckpt(state))
+            print(f"[import] converted {report['n_converted']} tensors from "
+                  f"reference torch checkpoint {path} "
+                  f"({report['n_skipped']} reference-only keys skipped)")
+            if report["surprising_skipped"]:
+                print("[import] NOTE unrecognized reference keys skipped: "
+                      + ", ".join(report["surprising_skipped"][:8]))
+            return state.replace(g_params=converted["g_params"],
+                                 g_state=converted["g_state"],
+                                 d_params=converted["d_params"],
+                                 d_state=converted["d_state"])
         with open(path, "rb") as f:
             ckpt = serialization.msgpack_restore(f.read())
         restored = {}
@@ -338,6 +358,25 @@ class BookKeeper:
                              g_state=restored["g_state"],
                              d_params=restored["d_params"],
                              d_state=restored["d_state"])
+
+    def export_experiment(self, state, out_dir: str) -> str:
+        """Write this experiment (args + weights) in OUR native format into
+        ``out_dir`` — used by ``cli.import_torch`` after a reference torch
+        checkpoint was converted by ``_load_model``.  The exported args drop
+        ``load`` so the new experiment stands alone.  Returns the new
+        weights path."""
+        import copy as _copy
+
+        args = _copy.deepcopy(self.args)
+        args.load = None
+        args.save_dir = out_dir
+        args.save(self.name("args", "args", out_dir))
+        with open(self.name("name", "name", out_dir), "w") as f:
+            f.write(self.name.prefix)
+        path = self.name(*self.weights_ext, out_dir)
+        with open(path, "wb") as f:
+            f.write(self._serialize(state))
+        return path
 
     # ---------------------------------------------------------------- results
     def update_res(self, res_dict: Dict[str, float]):

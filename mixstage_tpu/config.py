@@ -73,7 +73,9 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("dev_sign", int, 1, "1 if lower dev metric is better, else -1"),
     ("tb", int, 0, "tensorboard flag"),
     ("seed", int, 11212, "manual seed"),
-    ("load", str, None, "load weights from this file"),
+    ("load", str, None, "load weights from this file (native msgpack, "
+     "orbax dir, or a reference torch checkpoint — auto-detected)"),
+    ("out_dir", str, None, "output dir for cli.import_torch conversions"),
     ("cuda", int, -1, "kept for CLI parity; ignored (TPU/JAX picks devices)"),
     ("overfit", int, 0, "disable early stopping (overfit check)"),
     ("note", str, None, "experiment note"),
