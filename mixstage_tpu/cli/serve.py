@@ -19,40 +19,54 @@ from mixstage_tpu.config import Config, argparse_n_loop
 
 
 def loop(args: Config, exp_num: int):
-    assert args.load, "pass -load <PREFIX_weights.p>"
+    assert args.load or args.export_dir, \
+        "pass -load <PREFIX_weights.p> or -export_dir <artifact>"
     import jax
     import numpy as np
 
-    from mixstage_tpu.config import get_args_update_dict
-    from mixstage_tpu.serve import build_serving_fn
     from mixstage_tpu.serving import (DynamicBatcher, PoseService,
                                       start_http_server)
-    from mixstage_tpu.train.trainer import Trainer
 
-    update = get_args_update_dict(args)
-    update["window_hop"] = 0
-    update["render"] = 0
-    trainer = Trainer(args, ["exp", "cpk", "speaker", "model", "note"],
-                      update)
-    batch = int(trainer.args.batch_size or 32)
-    # multi-chip: shard the serving batch over all local devices (weights
-    # replicated, zero collectives — serve.build_serving_fn mesh mode)
-    mesh = None
-    n_dev = len(jax.devices())
-    if n_dev > 1 and batch % n_dev == 0:
-        from jax.sharding import Mesh
+    wav_batcher = None
+    if args.export_dir and not args.load:
+        # serve straight from an AOT artifact — no checkpoint, no model code
+        from mixstage_tpu.export import load_serving
 
-        mesh = Mesh(np.array(jax.devices()), ("data",))
-    serve_fn = build_serving_fn(trainer.factory, trainer.state, mesh=mesh)
+        serve_fn = load_serving(args.export_dir)
+        batch = serve_fn.static_batch
+        num_styles = serve_fn.manifest["num_speakers"]
+        wait_ms = float(args.serve_wait_ms or 5.0)
+    else:
+        from mixstage_tpu.config import get_args_update_dict
+        from mixstage_tpu.serve import build_serving_fn
+        from mixstage_tpu.train.trainer import Trainer
+
+        update = get_args_update_dict(args)
+        update["window_hop"] = 0
+        update["render"] = 0
+        trainer = Trainer(args, ["exp", "cpk", "speaker", "model", "note"],
+                          update)
+        batch = int(trainer.args.batch_size or 32)
+        # multi-chip: shard the serving batch over all local devices (weights
+        # replicated, zero collectives — serve.build_serving_fn mesh mode)
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and batch % n_dev == 0:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+        serve_fn = build_serving_fn(trainer.factory, trainer.state, mesh=mesh)
+        num_styles = trainer.factory.cfg.num_speakers
+        wait_ms = float(getattr(trainer.args, "serve_wait_ms", None) or 5.0)
 
     def run(audio, style):
         return serve_fn(audio, np.asarray(style))
 
-    wait_ms = float(getattr(trainer.args, "serve_wait_ms", None) or 5.0)
     batcher = DynamicBatcher(run, batch_size=batch, max_wait_ms=wait_ms)
     # raw-16kHz endpoint when the model consumes the log_mel_400 frontend
-    wav_batcher = None
-    if "audio/log_mel_400" in trainer.factory.cfg.input_modalities:
+    # (checkpoint mode only; artifacts currently export the mel-input graph)
+    if args.load and \
+            "audio/log_mel_400" in trainer.factory.cfg.input_modalities:
         from mixstage_tpu.serve import build_waveform_serving_fn
 
         wav_fn = build_waveform_serving_fn(trainer.factory, trainer.state)
@@ -60,9 +74,9 @@ def loop(args: Config, exp_num: int):
             lambda a, s: wav_fn(a, np.asarray(s)), batch_size=batch,
             max_wait_ms=wait_ms)
     service = PoseService(batcher, backend=jax.default_backend(),
-                          num_styles=trainer.factory.cfg.num_speakers,
+                          num_styles=num_styles,
                           waveform_batcher=wav_batcher)
-    port = int(getattr(trainer.args, "serve_port", None) or 8008)
+    port = int(args.serve_port or 8008)
     server = start_http_server(service, port=port, host="0.0.0.0")
     print(f"serving on :{server.server_address[1]} "
           f"(backend={jax.default_backend()}, batch={batch})", flush=True)

@@ -160,6 +160,12 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
      "audio conv pyramid relowering plan: 'native' | 'tpu' (best measured) | "
      "8 comma-separated conv|s2d|im2col entries — exact math, same params, "
      "perf-only (layers.resolve_audio_lowerings)"),
+    ("export_dir", str, None,
+     "AOT serving artifact directory (cli.export writes one from -load; "
+     "cli.serve can serve straight from it, no model code needed)"),
+    ("export_variants", str, "xla,pallas",
+     "serving variants to export: 'xla' (portable cpu+tpu folded graph) "
+     "and/or 'pallas' (TPU fused fast path), comma-separated"),
     ("serve_port", int, 8008, "HTTP port for cli.serve (0 = ephemeral)"),
     ("serve_wait_ms", float, 5.0,
      "dynamic-batcher gather window for cli.serve (per-request latency "
