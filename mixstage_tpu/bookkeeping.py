@@ -247,19 +247,16 @@ class BookKeeper:
         if os.path.exists(old):
             shutil.rmtree(old)
 
-    def _load_orbax(self, state, path: str):
+    @staticmethod
+    def _apply_full_ckpt(state, full, restore_optim: bool):
         import jax.numpy as jnp
-        import orbax.checkpoint as ocp
 
-        template = self._state_to_full_ckpt(state)
-        with ocp.StandardCheckpointer() as ckptr:
-            full = ckptr.restore(path, target=template)
         m = full["model"]
         state = state.replace(
             g_params=m["g_params"], g_state=m["g_state"],
             d_params=(m["d_params"] if state.d_params is not None else None),
             d_state=(m["d_state"] if state.d_state is not None else None))
-        if getattr(self.args, "save_optim", 0):
+        if restore_optim:
             t, c = full["train"], full["train"]["counters"]
             as_i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
             state = state.replace(
@@ -270,6 +267,66 @@ class BookKeeper:
                 lambda_step=as_i32(c["lambda_step"]),
                 curriculum_step=as_i32(c["curriculum_step"]))
         return state
+
+    def _load_orbax(self, state, path: str):
+        import orbax.checkpoint as ocp
+
+        template = self._state_to_full_ckpt(state)
+        with ocp.StandardCheckpointer() as ckptr:
+            full = ckptr.restore(path, target=template)
+        return self._apply_full_ckpt(
+            state, full, restore_optim=bool(getattr(self.args,
+                                                    "save_optim", 0)))
+
+    # -- preemption survival (TPU-native addition; no reference counterpart:
+    # pycasper only greedy-saves the BEST weights, so a preempted reference
+    # job loses all progress since the last dev improvement) ---------------
+    def _preempt_paths(self):
+        return (self.name("preempt", "p", self.save_dir),
+                self.name("preempt", "json", self.save_dir))
+
+    def save_preempt(self, state, meta: Dict[str, Any]):
+        """Atomically snapshot the LIVE training state (weights + optimizer +
+        counters) + host loop metadata on a preemption signal.
+
+        Written to a SEPARATE ``PREFIX_preempt.p`` so the greedy-saved best
+        model (``PREFIX_weights.p``) is never overwritten by a mid-training
+        state; a rerun of the same command consumes and clears it.
+        """
+        from flax import serialization
+
+        # to_bytes → to_state_dict first: optimizer pytrees hold namedtuples
+        # raw msgpack cannot encode
+        blob = serialization.to_bytes(self._state_to_full_ckpt(state))
+        p_state, p_meta = self._preempt_paths()
+        with open(p_meta, "w") as f:
+            json.dump(meta, f, indent=2)
+        tmp = p_state + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, p_state)  # snapshot becomes visible only when whole
+
+    def load_preempt(self, state):
+        """``(state, meta)`` from a preemption snapshot, or ``None``.
+
+        Restores the FULL state (optimizer + counters included,
+        independent of ``-save_optim`` — exact resume is the point).
+        """
+        from flax import serialization
+
+        p_state, p_meta = self._preempt_paths()
+        if not os.path.exists(p_state):
+            return None
+        template = self._state_to_full_ckpt(state)
+        with open(p_state, "rb") as f:
+            full = serialization.from_bytes(template, f.read())
+        meta = json.load(open(p_meta)) if os.path.exists(p_meta) else {}
+        return self._apply_full_ckpt(state, full, restore_optim=True), meta
+
+    def clear_preempt(self):
+        for path in self._preempt_paths():
+            if os.path.exists(path):
+                os.remove(path)
 
     # -- full-state checkpoints (improvement over the reference, which only
     # saves weights — SURVEY.md §5) --------------------------------------

@@ -18,10 +18,24 @@ import gc
 import numpy as np
 
 from mixstage_tpu.config import Config, argparse_n_loop
-from mixstage_tpu.train.trainer import Trainer
+from mixstage_tpu.train.trainer import Trainer, TrainingPreempted
 
 
 def loop(args: Config, exp_num: int):
+    try:
+        _loop(args, exp_num)
+    except TrainingPreempted as e:
+        # live state is already checkpointed (PREFIX_preempt.p); rc 75 =
+        # EX_TEMPFAIL tells the scheduler to retry the same command, which
+        # auto-resumes (Trainer._maybe_resume_preempt)
+        import sys
+
+        print(f"preempted ({e}); live state checkpointed — "
+              f"rerun the same command to resume", flush=True)
+        sys.exit(75)
+
+
+def _loop(args: Config, exp_num: int):
     sample_all_styles = args.sample_all_styles
     finetune_quantile_sample = args.finetune_quantile_sample
     args_subset = ["exp", "cpk", "speaker", "model", "note"]

@@ -160,6 +160,10 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
      "audio conv pyramid relowering plan: 'native' | 'tpu' (best measured) | "
      "8 comma-separated conv|s2d|im2col entries — exact math, same params, "
      "perf-only (layers.resolve_audio_lowerings)"),
+    ("preempt_save", int, 1,
+     "on SIGTERM, checkpoint the LIVE train state (weights + optimizer + "
+     "counters) to PREFIX_preempt.p and exit 75 (EX_TEMPFAIL); rerunning "
+     "the same command auto-resumes from it (TPU preemption survival)"),
     ("export_dir", str, None,
      "AOT serving artifact directory (cli.export writes one from -load; "
      "cli.serve can serve straight from it, no model code needed)"),

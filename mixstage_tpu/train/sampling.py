@@ -120,10 +120,10 @@ def sample_loop(trainer, desc: str):
         y_cap = np.asarray(y_cap, np.float64).reshape(pad_to, T, -1)[:B]
         running["pose"] += float(losses["pose"]) * B
         running_count[0] += B
-        y_cap_out = trainer.calculate_metrics(
-            y_cap, y_, kwargs_name,
-            style=np.asarray(style_target) if trainer.step_cfg.has_style
-            else None)
+        metric_kwargs = ({"style": np.asarray(style_target)}
+                         if trainer.step_cfg.has_style else {})
+        y_cap_out = trainer.calculate_metrics(y_cap, y_, kwargs_name,
+                                              **metric_kwargs)
         filenames.append(fname)
         keys.append(trainer.output_modality)
         y_outs.append(y_cap_out)  # (B*T, 2, joints) raw, root-zeroed

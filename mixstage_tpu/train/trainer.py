@@ -52,6 +52,13 @@ def _expand_mask(mask) -> List[int]:
     return out
 
 
+class TrainingPreempted(RuntimeError):
+    """A preemption signal (SIGTERM) arrived mid-training; the live state has
+    already been checkpointed (``BookKeeper.save_preempt``) when this is
+    raised.  ``cli.train`` turns it into exit code 75 (EX_TEMPFAIL) so
+    cluster schedulers retry the same command, which auto-resumes."""
+
+
 class Trainer:
     """Unified trainer with reference-equivalent behaviour per model family."""
 
@@ -187,6 +194,7 @@ class Trainer:
 
         # --------------------------------------------------------- state/init
         self._coin = np.random.default_rng(args.seed or 0)
+        self._preempted = False  # set by the SIGTERM handler, polled in loops
         # dynamic D/G coin probability (adapted when -update_D_prob_flag 1,
         # reference gan.py:44,97-98)
         self._d_prob = self.step_cfg.d_prob
@@ -279,8 +287,74 @@ class Trainer:
         self._maybe_update_d_prob(np.asarray(W))
 
     # ------------------------------------------------------------------ train
+    # ------------------------------------------------- preemption survival
+    def request_preempt(self, signum=None, frame=None):
+        """Signal-handler entry: flag only (async-signal-safe); the training
+        loop checkpoints + raises at its next host-side step boundary."""
+        self._preempted = True
+
+    def _install_preempt_handler(self):
+        if not getattr(self.args, "preempt_save", 0):
+            return None
+        import signal
+
+        try:
+            prev = signal.signal(signal.SIGTERM,
+                                 lambda s, f: self.request_preempt(s, f))
+            return (signal.SIGTERM, prev)
+        except ValueError:  # not the main thread (embedded / test harness)
+            return None
+
+    def _check_preempt(self, epoch: int, where: str):
+        """Poll the preemption flag at a host-side step boundary; on a hit,
+        snapshot the LIVE state (weights + optimizer + counters) and unwind.
+
+        Within-epoch progress is IN the snapshot; the resume re-enters the
+        current epoch, so the only cost is that epoch's partial metrics."""
+        if not (self._preempted and getattr(self.args, "preempt_save", 0)):
+            return
+        meta = {"epoch_next": int(epoch), "step": int(self.state.step),
+                "reason": "SIGTERM", "time": time.asctime(),
+                "best_dev_score": float(self.book.best_dev_score),
+                "stop_count": int(self.book.stop_count)}
+        self.book.log(f"preempted at {where}: checkpointing live state "
+                      f"(epoch {epoch}, step {meta['step']})")
+        self.book.save_preempt(self.state, meta)
+        self.book._save_res()
+        raise TrainingPreempted(where)
+
+    def _maybe_resume_preempt(self) -> int:
+        """Consume a preemption snapshot for this PREFIX, if any; returns the
+        epoch to start from (0 on a fresh run)."""
+        if not getattr(self.args, "preempt_save", 0):
+            return 0
+        out = self.book.load_preempt(self.state)
+        if out is None:
+            return 0
+        self.state, meta = out
+        self.book.best_dev_score = float(
+            meta.get("best_dev_score", self.book.best_dev_score))
+        self.book.stop_count = int(meta.get("stop_count", 0))
+        epoch = int(meta.get("epoch_next", 0))
+        self.book.log(f"resuming from preemption checkpoint "
+                      f"(epoch {epoch}, step {meta.get('step', '?')})")
+        self.book.clear_preempt()  # one-shot: a new signal writes a fresh one
+        return epoch
+
     def train(self, exp_num):
-        for epoch in range(self.num_epochs):
+        start_epoch = self._maybe_resume_preempt()
+        handler = self._install_preempt_handler()
+        try:
+            self._train_epochs(exp_num, start_epoch)
+        finally:
+            if handler is not None:
+                import signal
+
+                signal.signal(*handler)
+
+    def _train_epochs(self, exp_num, start_epoch=0):
+        for epoch in range(start_epoch, self.num_epochs):
+            self._check_preempt(epoch, f"epoch {epoch} start")
             train_loss, train_metrics, _ = self.train_loop(
                 self.data_train, "train", epoch, num_iters=self.args.num_iters)
             dev_loss, dev_metrics, _ = self.train_loop(
@@ -330,6 +404,7 @@ class Trainer:
             self.book.update_res({"test": test_loss})
             self.book.update_res(test_metrics)
             self.book._save_res()
+        self.book.clear_preempt()  # clean completion: no stale snapshot
 
     def train_loop(self, data, desc, epoch=0, num_iters=0):
         from mixstage_tpu.train.profiling import StepTimer, trace
@@ -354,6 +429,8 @@ class Trainer:
                                          profile_ctx, running, running_count,
                                          t0)
         for count, (batch, (step_batch, y_)) in enumerate(prepared):
+            if desc == "train":
+                self._check_preempt(epoch, f"train step {count}")
             timer.start()
             if "idx" in batch:
                 for i in np.asarray(batch["idx"]).tolist():
@@ -538,7 +615,7 @@ class Trainer:
         """Metric cascade in znormed + raw spaces (trainer.py:865-915)."""
         if kwargs_name is None:
             kwargs_name = "same"
-        if "style" in kwargs:
+        if kwargs.get("style") is not None:
             idx = int(np.asarray(kwargs["style"]).reshape(-1)[0])
             style_vector = np.asarray(kwargs["style"])
         else:
@@ -802,6 +879,7 @@ class Trainer:
                          int(self.state.curriculum_step)
                          < self.step_cfg.curriculum_iters)
         for batch, (step_batch, y_) in prepared:
+            self._check_preempt(epoch, f"train scan batch {count}")
             if "idx" in batch:
                 for i in np.asarray(batch["idx"]).tolist():
                     self.weight_counter[i] = self.weight_counter.get(i, 0) + 1

@@ -55,6 +55,16 @@ def test_s2g_train_and_files(synth, tmp_path_factory):
               if f.startswith("events.out.tfevents")]
     assert events, f"-tb 1 wrote no tensorboard events in {exp_dir}"
 
+    # sampling a NO-STYLE model must not crash the metric cascade
+    # (regression: host_side used to pass style=None into calculate_metrics)
+    cfg2 = base_cfg(synth, save_dir, model="Speech2Gesture_G", gan=0,
+                    loss="L1Loss", speaker=["oliver"], window_hop=0,
+                    load=trainer.book.name("weights", "p", save_dir))
+    trainer2 = Trainer(cfg2, ["exp", "cpk", "speaker", "model", "note"],
+                       {"window_hop": 0, "sample_all_styles": 0})
+    trainer2.sample(exp_num=1)
+    assert list((Path(trainer2.dir_name) / "keypoints").rglob("*.h5"))
+
 
 @pytest.mark.slow
 def test_mixstage_gan_train_sample_style_transfer(synth, tmp_path_factory):
