@@ -73,9 +73,10 @@ def loop(args: Config, exp_num: int):
         wav_batcher = DynamicBatcher(
             lambda a, s: wav_fn(a, np.asarray(s)), batch_size=batch,
             max_wait_ms=wait_ms)
+    frames = int(getattr(serve_fn, "frames", 0) or 64)
     service = PoseService(batcher, backend=jax.default_backend(),
                           num_styles=num_styles,
-                          waveform_batcher=wav_batcher)
+                          waveform_batcher=wav_batcher, frames=frames)
     port = int(args.serve_port or 8008)
     server = start_http_server(service, port=port, host="0.0.0.0")
     print(f"serving on :{server.server_address[1]} "

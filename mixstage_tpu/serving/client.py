@@ -47,3 +47,40 @@ class PoseClient:
         """Raw 16 kHz samples → pose (servers with the log_mel_400
         frontend)."""
         return self._post("/v1/pose_from_waveform", waveform, style)
+
+    def _post_json(self, path: str, payload: dict) -> dict:
+        req = urllib.request.Request(
+            self.base_url + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        return json.loads(urllib.request.urlopen(
+            req, timeout=self.timeout_s).read())
+
+    def stream(self, style=0, hop=None) -> "PoseStream":
+        """Open a streaming session (overlapped-window real-time path)."""
+        payload = {"style": np.asarray(style).tolist()}
+        if hop is not None:
+            payload["hop"] = int(hop)
+        info = self._post_json("/v1/stream", payload)
+        return PoseStream(self, info)
+
+
+class PoseStream:
+    """Client handle for one streaming session: feed mel frames, receive
+    newly finalized pose frames."""
+
+    def __init__(self, client: PoseClient, info: dict):
+        self._client = client
+        self.session = info["session"]
+        self.window = info["window"]
+        self.hop = info["hop"]
+
+    def feed(self, mel_frames: np.ndarray) -> np.ndarray:
+        out = self._client._post_json(
+            f"/v1/stream/{self.session}",
+            {"audio": np.asarray(mel_frames, np.float32).tolist()})
+        return np.asarray(out["pose"], np.float32)
+
+    def finish(self) -> np.ndarray:
+        out = self._client._post_json(
+            f"/v1/stream/{self.session}/finish", {})
+        return np.asarray(out["pose"], np.float32)

@@ -15,9 +15,17 @@ dependency-free:
 * ``POST /v1/pose``   — JSON ``{"audio": [[...T×mel...]], "style": int}`` →
   ``{"pose": [[...T×feats...]]}``; or ``application/octet-stream`` carrying
   an ``.npz`` with ``audio``/``style`` → raw ``.npy`` pose bytes.
+* ``POST /v1/stream``            — open a streaming session
+  (``{"style": ..., "hop": ...}`` → ``{"session": id}``); then
+  ``POST /v1/stream/<id>`` feeds mel frames and returns newly FINALIZED
+  pose frames, ``POST /v1/stream/<id>/finish`` flushes + closes, and
+  ``DELETE /v1/stream/<id>`` aborts.  Sessions run overlapped-window
+  inference with crossfade (``mixstage_tpu/streaming.py``) and submit
+  their windows through the same batcher — concurrent streams share
+  device batches.
 * ``GET /healthz``    — liveness + backend + static batch size.
 * ``GET /stats``      — request/batch counters, mean occupancy, latency
-  percentiles.
+  percentiles, active streaming sessions.
 """
 
 from __future__ import annotations
@@ -153,7 +161,8 @@ class PoseService:
 
     def __init__(self, batcher: DynamicBatcher, backend: str = "unknown",
                  timeout_s: float = 30.0, num_styles: Optional[int] = None,
-                 waveform_batcher: Optional[DynamicBatcher] = None):
+                 waveform_batcher: Optional[DynamicBatcher] = None,
+                 frames: int = 64, stream_idle_s: float = 300.0):
         self.batcher = batcher
         self.backend = backend
         self.timeout_s = timeout_s
@@ -162,6 +171,11 @@ class PoseService:
         self.num_styles = num_styles
         # optional raw-16kHz endpoint over serve.build_waveform_serving_fn
         self.waveform_batcher = waveform_batcher
+        # streaming sessions: id -> [StreamingSession, last_used, lock]
+        self.frames = int(frames)
+        self.stream_idle_s = stream_idle_s
+        self._streams: dict = {}
+        self._streams_lock = threading.Lock()
 
     def _pick(self, waveform: bool) -> DynamicBatcher:
         if waveform:
@@ -200,6 +214,65 @@ class PoseService:
         np.save(buf, pose)
         return buf.getvalue()
 
+    # ------------------------------------------------------ streaming sessions
+    def _sweep_streams(self):
+        """Drop sessions idle past the budget (caller holds _streams_lock)."""
+        now = time.time()
+        for sid in [s for s, v in self._streams.items()
+                    if now - v[1] > self.stream_idle_s]:
+            del self._streams[sid]
+
+    def _stream(self, sid: str):
+        with self._streams_lock:
+            entry = self._streams.get(sid)
+        if entry is None:
+            raise LookupError(f"unknown or expired session {sid!r}")
+        return entry
+
+    def stream_open(self, payload: dict) -> dict:
+        """Create a streaming session; its window inferences go through the
+        shared batcher, so concurrent streams batch together on device."""
+        import uuid
+
+        from mixstage_tpu.streaming import StreamingSession
+
+        style = self._style(payload.get("style", 0))
+        hop = payload.get("hop")
+
+        def infer(window, sty):
+            return np.asarray(
+                self.batcher.submit(window, sty).result(self.timeout_s))
+
+        sess = StreamingSession(infer, style, window=self.frames,
+                                hop=None if hop is None else int(hop))
+        sid = uuid.uuid4().hex[:16]
+        with self._streams_lock:
+            self._sweep_streams()
+            self._streams[sid] = [sess, time.time(), threading.Lock()]
+        return {"session": sid, "window": sess.window, "hop": sess.hop}
+
+    def stream_feed(self, sid: str, payload: dict) -> dict:
+        entry = self._stream(sid)
+        audio = np.asarray(payload["audio"], np.float32)
+        with entry[2]:  # serialize feeds per session
+            out = entry[0].feed(audio)
+            entry[1] = time.time()
+            buffered = entry[0].frames_buffered
+        return {"pose": out.tolist(), "frames_buffered": buffered}
+
+    def stream_finish(self, sid: str) -> dict:
+        entry = self._stream(sid)
+        with entry[2]:
+            out = entry[0].finish()
+        with self._streams_lock:
+            self._streams.pop(sid, None)
+        return {"pose": out.tolist()}
+
+    def stream_close(self, sid: str) -> dict:
+        with self._streams_lock:
+            dropped = self._streams.pop(sid, None) is not None
+        return {"closed": dropped}
+
     def healthz(self) -> dict:
         return {"ok": True, "backend": self.backend,
                 "batch_size": self.batcher.batch_size}
@@ -224,18 +297,42 @@ def _make_handler(service: PoseService):
             if self.path == "/healthz":
                 self._send_json(200, service.healthz())
             elif self.path == "/stats":
-                self._send_json(200, service.batcher.stats())
+                stats = service.batcher.stats()
+                stats["streams"] = len(service._streams)
+                self._send_json(200, stats)
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+
+        def do_DELETE(self):
+            parts = self.path.strip("/").split("/")
+            if len(parts) == 3 and parts[:2] == ["v1", "stream"]:
+                self._send_json(200, service.stream_close(parts[2]))
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/v1/pose", "/v1/pose_from_waveform"):
-                self._send_json(404, {"error": f"unknown path {self.path}"})
-                return
-            waveform = self.path.endswith("waveform")
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
+            parts = self.path.strip("/").split("/")
             try:
+                if parts[:2] == ["v1", "stream"]:
+                    payload = json.loads(body.decode()) if body else {}
+                    if len(parts) == 2:
+                        self._send_json(200, service.stream_open(payload))
+                    elif len(parts) == 3:
+                        self._send_json(200, service.stream_feed(parts[2],
+                                                                 payload))
+                    elif len(parts) == 4 and parts[3] == "finish":
+                        self._send_json(200, service.stream_finish(parts[2]))
+                    else:
+                        self._send_json(404, {"error": f"unknown path "
+                                                       f"{self.path}"})
+                    return
+                if self.path not in ("/v1/pose", "/v1/pose_from_waveform"):
+                    self._send_json(404,
+                                    {"error": f"unknown path {self.path}"})
+                    return
+                waveform = self.path.endswith("waveform")
                 if self.headers.get("Content-Type", "").startswith(
                         "application/octet-stream"):
                     out = service.infer_npz(body, waveform=waveform)

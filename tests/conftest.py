@@ -46,3 +46,31 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(11212)
+
+
+@pytest.fixture(scope="session")
+def tiny_exp(tmp_path_factory):
+    """A small initialized Mix-StAGE + its exported AOT artifact (xla
+    variant) — shared by test_export.py and test_streaming.py."""
+    import jax.numpy as jnp
+
+    from mixstage_tpu.export import export_serving
+    from mixstage_tpu.train.steps import StepConfig, StepFactory
+
+    B, T = 2, 64
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=2, num_speakers=2,
+                     model_kwargs=(("in_channels", 64),))
+    factory = StepFactory(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": (jnp.asarray(rng.normal(size=(B, T, 128)), jnp.float32),),
+        "y": jnp.asarray(rng.normal(size=(B, T, 96)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 2, size=(B, T))),
+        "style": jnp.asarray(np.zeros((B, T)), jnp.int32),
+    }
+    state = factory.init(jax.random.key(0), batch)
+    art = tmp_path_factory.mktemp("artifact").as_posix()
+    manifest = export_serving(factory, state, art, batch=B, frames=T,
+                              variants=("xla",))
+    return factory, state, art, manifest

@@ -21,27 +21,8 @@ from mixstage_tpu.export import (ARTIFACT_FORMAT, MANIFEST, export_serving,
 B, T = 2, 64
 
 
-@pytest.fixture(scope="module")
-def tiny_exp(tmp_path_factory):
-    """A small trained-ish model + its exported artifact (xla variant)."""
-    from mixstage_tpu.train.steps import StepConfig, StepFactory
-
-    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
-                     criterion="L1Loss", num_clusters=2, num_speakers=2,
-                     model_kwargs=(("in_channels", 64),))
-    factory = StepFactory(cfg, donate=False)
-    rng = np.random.default_rng(0)
-    batch = {
-        "x": (jnp.asarray(rng.normal(size=(B, T, 128)), jnp.float32),),
-        "y": jnp.asarray(rng.normal(size=(B, T, 96)), jnp.float32),
-        "labels": jnp.asarray(rng.integers(0, 2, size=(B, T))),
-        "style": jnp.asarray(np.zeros((B, T)), jnp.int32),
-    }
-    state = factory.init(jax.random.key(0), batch)
-    art = tmp_path_factory.mktemp("artifact").as_posix()
-    manifest = export_serving(factory, state, art, batch=B, frames=T,
-                              variants=("xla",))
-    return factory, state, art, manifest
+# tiny_exp (small model + exported artifact) lives in conftest.py — shared
+# with tests/test_streaming.py
 
 
 def test_export_roundtrip_exact(tiny_exp, rng):

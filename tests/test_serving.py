@@ -303,3 +303,91 @@ def test_batcher_over_real_serving_fn():
     pose_mix = np.asarray(serve(jnp.asarray(audio), jnp.asarray(mix)))
     assert np.isfinite(pose_mix).all()
     assert not np.allclose(pose_mix, ref)
+
+
+def test_http_streaming_sessions_end_to_end():
+    """Open → feed → finish over HTTP matches a local StreamingSession on
+    the same fake model; sessions ride the shared batcher and are dropped
+    after finish/DELETE; unknown ids surface as client errors."""
+    from mixstage_tpu.serving import PoseClient
+    from mixstage_tpu.streaming import StreamingSession
+
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=4, max_wait_ms=2.0)
+    service = PoseService(b, backend="test", frames=T_MEL)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    client = PoseClient(base)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(12, MEL)).astype(np.float32)
+    try:
+        stream = client.stream(style=3, hop=4)
+        assert stream.window == T_MEL and stream.hop == 4
+
+        got = [stream.feed(x[:8]), stream.feed(x[8:]), stream.finish()]
+        out = np.concatenate([g for g in got if g.size])
+
+        ref_sess = StreamingSession(
+            lambda w, s: np.asarray(fake_serve([])(w[None],
+                                                   np.asarray([s]))[0]),
+            style=3, window=T_MEL, hop=4)
+        ref = np.concatenate([p for p in (ref_sess.feed(x),
+                                          ref_sess.finish()) if p.size])
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+        assert out.shape[0] == 12
+
+        # session is gone after finish
+        stats = json.loads(urllib.request.urlopen(base + "/stats").read())
+        assert stats["streams"] == 0
+        try:
+            stream.feed(x[:1])
+            assert False, "expected 400 for finished session"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "unknown or expired" in json.loads(e.read())["error"]
+
+        # DELETE aborts an open session
+        s2 = client.stream(style=1)
+        stats = json.loads(urllib.request.urlopen(base + "/stats").read())
+        assert stats["streams"] == 1
+        req = urllib.request.Request(f"{base}/v1/stream/{s2.session}",
+                                     method="DELETE")
+        assert json.loads(urllib.request.urlopen(req).read())["closed"]
+    finally:
+        server.shutdown()
+        b.close()
+
+
+def test_http_concurrent_streams_share_device_batches():
+    """Two streams fed in lockstep from two threads produce per-stream
+    correct output; the shared batcher coalesces their windows (total
+    device calls < total windows)."""
+    from mixstage_tpu.serving import PoseClient
+
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=4, max_wait_ms=30.0)
+    service = PoseService(b, backend="test", frames=T_MEL)
+    server = start_http_server(service, port=0)
+    client = PoseClient(f"http://127.0.0.1:{server.server_address[1]}")
+    rng = np.random.default_rng(6)
+    xs = [rng.normal(size=(16, MEL)).astype(np.float32) for _ in range(2)]
+    outs = [None, None]
+
+    def run(i):
+        st = client.stream(style=i, hop=4)
+        pieces = [st.feed(xs[i][j:j + 4]) for j in range(0, 16, 4)]
+        pieces.append(st.finish())
+        outs[i] = np.concatenate([p for p in pieces if p.size])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    for i in range(2):
+        assert outs[i] is not None and outs[i].shape[0] == 16
+        # style offset identifies the stream: fake pose = rowsum + 1000*style
+        expect_first = xs[i][0].sum() + 1000.0 * i
+        np.testing.assert_allclose(outs[i][0, 0], expect_first, rtol=1e-5)
+    server.shutdown()
+    b.close()
