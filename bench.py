@@ -251,6 +251,54 @@ def bench_sampling():
     return out
 
 
+def bench_streaming(serve, T: int, mel: int, n_stream_frames: int = 640):
+    """Streaming inference path (mixstage_tpu/streaming.py): overlapped
+    64-frame windows + crossfade over the live serving fn, fed frame-at-a-time
+    the way a real-time client would.  Reports achieved stream throughput,
+    the real-time factor vs the 15 fps pose rate (dataUtils.py:510-527 fs
+    contract), and the p50 per-window inference latency.  Reuses the (1, T,
+    mel) serving compilation bench.main already warmed."""
+    from mixstage_tpu.streaming import session_over_serving_fn
+
+    rng = np.random.default_rng(7)
+    mel_frames = rng.normal(size=(n_stream_frames, mel)).astype(np.float32)
+    # warm pass: first window pays any residual compile/caching
+    warm = session_over_serving_fn(serve, 0)
+    warm.feed(mel_frames[:T])
+    warm.finish()
+
+    sess = session_over_serving_fn(serve, 0)
+    win_lat = []
+    orig_run = sess._run_window
+
+    def timed_run(start):
+        t0 = time.perf_counter()
+        orig_run(start)
+        win_lat.append(time.perf_counter() - t0)
+
+    sess._run_window = timed_run
+    t0 = time.perf_counter()
+    got = 0
+    for f in mel_frames:          # frame-at-a-time: the worst-case feed
+        got += sess.feed(f).shape[0]
+    got += sess.finish().shape[0]
+    wall = time.perf_counter() - t0
+    assert got == n_stream_frames, (got, n_stream_frames)
+    fps = n_stream_frames / wall
+    out = {
+        "streaming_frames_per_sec_1session": round(fps, 1),
+        "streaming_realtime_factor_at_15fps": round(fps / 15.0, 1),
+        "streaming_p50_window_ms": round(
+            float(np.median(win_lat)) * 1e3, 2),
+        "streaming_windows_run": len(win_lat),
+    }
+    log(f"streaming: {fps:,.0f} pose frames/s single session "
+        f"({out['streaming_realtime_factor_at_15fps']}x real-time at 15 fps; "
+        f"p50 window {out['streaming_p50_window_ms']} ms, "
+        f"{len(win_lat)} windows)")
+    return out
+
+
 def _host_only_extras() -> dict:
     """TPU-free measurements for the preflight-failure record: the render
     path and the host input pipeline are real, CPU-measured subsystems —
@@ -513,6 +561,12 @@ def main():
         log(f"serving-endpoint bench unavailable ({e})")
         endpoint_extras = {}
 
+    try:
+        streaming_extras = bench_streaming(serve, T, clip_audio.shape[-1])
+    except Exception as e:  # noqa: BLE001 — never risk the headline
+        log(f"streaming bench unavailable ({e})")
+        streaming_extras = {}
+
     print(json.dumps({
         "metric": "mixstage_gan_train_pose_frames_per_sec_per_chip_bs32",
         "value": round(headline_fps, 1),
@@ -546,7 +600,8 @@ def main():
             "n_chips": n_chips,
             "reference_frames_per_sec_cpu": round(ref, 1),
             **sampling_extras,
-            **endpoint_extras},
+            **endpoint_extras,
+            **streaming_extras},
     }))
 
 

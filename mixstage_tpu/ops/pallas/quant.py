@@ -1,0 +1,251 @@
+"""Int8-quantized mixture decoder: 2x MXU peak for the serving hot loop.
+
+The BN-folded mixture decoder dominates the serving graph (~52 of the
+~62 GFLOP per bs32 call — `bench.py` cost analysis of the path built from
+reference jlcss4.py:69-83,190-193).  TPU v5e's MXU runs int8 at ~2x its
+bf16 rate, so an int8 tier of the fused decoder is the one large serving
+lever left after the bf16 path.
+
+Scheme (standard post-training symmetric quantization):
+
+* weights: per-(group, out-channel) symmetric int8 — scale = max|w|/127
+  over each output column's (tap, in) slice;
+* activations: per-(group, layer) symmetric int8 with *static* scales from
+  a one-shot calibration pass (run the f32 folded decoder on a
+  representative batch, record max|activation| per layer per group);
+* accumulation: int8 x int8 -> int32 on the MXU
+  (``preferred_element_type=jnp.int32``), dequantized once per layer with
+  the combined multiplier ``scale_act_in * scale_w[outchan]`` (f32), bias
+  added and LeakyReLU applied in f32, then requantized for the next layer;
+* the 1x1 logits layer dequantizes to f32 output — no final requantization.
+
+Accuracy is measured, not assumed: ``build_serving_fn(quantize_int8=True)``
+callers get the drift reported by bench.py / pinned by tests; the
+train/eval graph is untouched (the parity-exact path stays f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _colmax(w, axes):
+    s = jnp.max(jnp.abs(w), axis=axes)
+    return jnp.maximum(s, 1e-8) / 127.0
+
+
+def _q(w, scale):
+    return jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+
+
+def quantize_folded_decoder(fd, x_calib, negative_slope: float = 0.2):
+    """Quantize an ``extract_folded_decoder`` dict against calibration
+    features.
+
+    Args:
+      fd: dict with w0 (G, 3, C0p, C), wc (L, G, 3, C, C),
+        biases (G, L+1, C), w_logits (G, C, F), b_logits (G, F) — the exact
+        layout ``fused_mixstage_decoder`` consumes (input already padded).
+      x_calib: (B, T, C0p) f32 content+style features from a representative
+        batch (the backbone's ``features`` output, padded like the serving
+        path pads it).
+
+    Returns a qfd dict consumed by ``fused_mixstage_decoder_int8`` /
+    ``decoder_int8_xla``: int8 weights + f32 combined dequant multipliers
+    ``m0 (G, C)``, ``mc (L, G, C)``, ``ml (G, F)``, requant reciprocals
+    ``rq (G, L+1)`` (1/activation-scale per layer output), input scale
+    ``s_in`` (python float, static), and the f32 biases.
+    """
+    w0, wc = fd["w0"], fd["wc"]
+    biases, wl, bl = fd["biases"], fd["w_logits"], fd["b_logits"]
+    G = w0.shape[0]
+    L = wc.shape[0]
+
+    sw0 = _colmax(w0, (1, 2))                      # (G, C)
+    swc = _colmax(wc, (2, 3))                      # (L, G, C)
+    swl = _colmax(wl, (1,))                        # (G, F)
+    w0_i8 = _q(w0, sw0[:, None, None, :])
+    wc_i8 = _q(wc, swc[:, :, None, None, :])
+    wl_i8 = _q(wl, swl[:, None, :])
+
+    # one-shot f32 calibration pass: per-(group, layer) activation maxima
+    s_in = float(jnp.max(jnp.abs(x_calib)).item()) / 127.0
+    s_in = max(s_in, 1e-8)
+    act = np.zeros((G, L + 1), np.float64)
+    for g in range(G):
+        h = jnp.einsum("btkc,kcd->btd",
+                       _shift3(x_calib), w0[g]) + biases[g, 0]
+        h = jnp.where(h >= 0, h, negative_slope * h)
+        act[g, 0] = float(jnp.max(jnp.abs(h)).item())
+        for l in range(L):
+            h = jnp.einsum("btkc,kcd->btd",
+                           _shift3(h), wc[l, g]) + biases[g, l + 1]
+            h = jnp.where(h >= 0, h, negative_slope * h)
+            act[g, l + 1] = float(jnp.max(jnp.abs(h)).item())
+    a = jnp.asarray(np.maximum(act, 1e-8) / 127.0, jnp.float32)  # (G, L+1)
+
+    m0 = s_in * sw0                                 # (G, C)
+    mc = a.T[:L, :, None] * swc                     # (L, G, C): in-scale of
+    # chain layer l is the output scale of layer l-1 => a[:, l]
+    ml = a[:, L][:, None] * swl                     # (G, F)
+    rq = 1.0 / a                                    # (G, L+1)
+    return {"w0_i8": w0_i8, "wc_i8": wc_i8, "wl_i8": wl_i8,
+            "m0": m0, "mc": mc, "ml": ml, "rq": rq,
+            "biases": jnp.asarray(biases, jnp.float32),
+            "b_logits": jnp.asarray(bl, jnp.float32),
+            "s_in": s_in}
+
+
+def _shift3(x):
+    """(B, T, C) -> (B, T, 3, C) taps [t-1, t, t+1] with zero edges (the
+    'same'-padded k=3 conv as 3 shifted views; used only in calibration)."""
+    B, T, C = x.shape
+    z = jnp.zeros((B, 1, C), x.dtype)
+    return jnp.stack([jnp.concatenate([z, x[:, :-1]], 1), x,
+                      jnp.concatenate([x[:, 1:], z], 1)], axis=2)
+
+
+def quantize_input(x, s_in: float):
+    return jnp.clip(jnp.round(x / s_in), -127, 127).astype(jnp.int8)
+
+
+def decoder_int8_xla(x, qfd, groups: int, negative_slope: float = 0.2):
+    """XLA reference of the int8 decoder (parity tests + CPU fallback).
+
+    Bit-identical integer accumulation to the Pallas kernel (int32 sums are
+    order-free); the f32 dequant/requant chain uses the same op order.
+    """
+    G = groups
+    L = qfd["wc_i8"].shape[0]
+    xq = quantize_input(x, qfd["s_in"])
+    B, T, C0 = xq.shape
+
+    def qconv3(q, w_i8, mult, bias, rq_scalar):
+        z = jnp.zeros((B, 1, q.shape[-1]), jnp.int8)
+        xm = jnp.concatenate([z, q[:, :-1]], 1)
+        xp = jnp.concatenate([q[:, 1:], z], 1)
+        acc = (jnp.einsum("btc,cd->btd", xm, w_i8[0],
+                          preferred_element_type=jnp.int32)
+               + jnp.einsum("btc,cd->btd", q, w_i8[1],
+                            preferred_element_type=jnp.int32)
+               + jnp.einsum("btc,cd->btd", xp, w_i8[2],
+                            preferred_element_type=jnp.int32))
+        y = acc.astype(jnp.float32) * mult[None, None, :] + bias
+        y = jnp.where(y >= 0, y, negative_slope * y)
+        return jnp.clip(jnp.round(y * rq_scalar), -127, 127).astype(jnp.int8)
+
+    outs = []
+    for g in range(G):
+        q = qconv3(xq, qfd["w0_i8"][g], qfd["m0"][g], qfd["biases"][g, 0],
+                   qfd["rq"][g, 0])
+        for l in range(L):
+            q = qconv3(q, qfd["wc_i8"][l, g], qfd["mc"][l, g],
+                       qfd["biases"][g, l + 1], qfd["rq"][g, l + 1])
+        logits = jnp.einsum("btc,cf->btf", q, qfd["wl_i8"][g],
+                            preferred_element_type=jnp.int32)
+        outs.append(logits.astype(jnp.float32) * qfd["ml"][g][None, None, :]
+                    + qfd["b_logits"][g][None, None, :])
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _decoder_kernel_int8(x_ref, w0_ref, wc_ref, m0_ref, mc_ref, rq_ref,
+                         b_ref, wl_ref, ml_ref, bl_ref, o_ref,
+                         *, L, C0, C, F, T, Bt, negative_slope):
+    """Int8 mixture decoder for one (group, batch-tile) block.
+
+    x_ref:  (Bt, T, C0) int8 quantized features (shared across groups)
+    w0_ref: (1, 3, C0, C) int8; wc_ref: (L, 1, 3, C, C) int8
+    m0_ref: (1, 1, C); mc_ref: (L, 1, 1, C) f32 combined dequant multipliers
+    rq_ref: (1, L + 1, 1) f32 requant reciprocals
+    b_ref:  (1, L + 1, C) f32 folded biases
+    wl_ref: (1, C, F) int8; ml_ref: (1, 1, F) f32; bl_ref: (1, 1, F) f32
+    o_ref:  (1, Bt, T, F) f32 pose logits for this group
+    """
+    def qconv3(q, w, mult, bias, rq, cin):
+        z = jnp.zeros((Bt, 1, cin), jnp.int8)
+        qm = jnp.concatenate([z, q[:, :-1, :]], axis=1)
+        qp = jnp.concatenate([q[:, 1:, :], z], axis=1)
+        acc = jnp.dot(qm.reshape(Bt * T, cin), w[0],
+                      preferred_element_type=jnp.int32)
+        acc = acc + jnp.dot(q.reshape(Bt * T, cin), w[1],
+                            preferred_element_type=jnp.int32)
+        acc = acc + jnp.dot(qp.reshape(Bt * T, cin), w[2],
+                            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * mult[None, :] + bias[None, :]
+        y = jnp.where(y >= 0, y, negative_slope * y)
+        q8 = jnp.clip(jnp.round(y * rq), -127, 127).astype(jnp.int8)
+        return q8.reshape(Bt, T, C)
+
+    q = qconv3(x_ref[...], w0_ref[0], m0_ref[0, 0], b_ref[0, 0],
+               rq_ref[0, 0, 0], C0)
+    for l in range(L):
+        q = qconv3(q, wc_ref[l, 0], mc_ref[l, 0, 0], b_ref[0, l + 1],
+                   rq_ref[0, l + 1, 0], C)
+    logits = jnp.dot(q.reshape(Bt * T, C), wl_ref[0],
+                     preferred_element_type=jnp.int32)
+    out = (logits.astype(jnp.float32) * ml_ref[0, 0][None, :]
+           + bl_ref[0, 0][None, :])
+    o_ref[0] = out.reshape(Bt, T, F).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "negative_slope",
+                                             "batch_tile", "interpret",
+                                             "s_in"))
+def fused_mixstage_decoder_int8(x, w0_i8, wc_i8, m0, mc, rq, biases, wl_i8,
+                                ml, b_logits, s_in: float, groups: int,
+                                negative_slope: float = 0.2,
+                                batch_tile: int = 16,
+                                interpret: bool = False):
+    """Int8 twin of ``fused_mixstage_decoder``: same grid (group-major x
+    batch-tile), activations VMEM-resident across all L+2 layers, MXU dots
+    in int8.  ``x`` is f32/bf16 features (padded to C0p) — quantization of
+    the input fuses into the surrounding XLA graph.  Returns (B, T, G*F) f32
+    pose logits; combine with ``index_select_outputs`` outside.
+    """
+    B, T, C0 = x.shape
+    L, G, _, C, _ = wc_i8.shape
+    F = wl_i8.shape[-1]
+    Bt = min(batch_tile, B)
+    while B % Bt:
+        Bt -= 1
+    xq = quantize_input(x, s_in)
+    kernel = functools.partial(_decoder_kernel_int8, L=L, C0=C0, C=C, F=F,
+                               T=T, Bt=Bt, negative_slope=negative_slope)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, B // Bt),
+        in_specs=[
+            pl.BlockSpec((Bt, T, C0), lambda g, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, C0, C), lambda g, i: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, 3, C, C), lambda g, i: (0, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, 1, C), lambda g, i: (0, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L + 1, 1), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L + 1, C), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, F), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Bt, T, F), lambda g, i: (g, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, B, T, F), jnp.float32),
+        interpret=interpret,
+    )(xq, w0_i8, wc_i8, m0[:, None, :], mc[:, :, None, :], rq[:, :, None],
+      biases, wl_i8, ml[:, None, :], b_logits[:, None, :])
+    return jnp.transpose(out, (1, 2, 0, 3)).reshape(B, T, G * F)

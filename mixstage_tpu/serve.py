@@ -131,8 +131,16 @@ def folded_decoder_xla(x, fd, groups: int, negative_slope: float = 0.2):
 
 
 def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
-                     batch_tile: int = 16, mesh=None):
+                     batch_tile: int = 16, mesh=None,
+                     quantize_int8: bool = False, calib=None):
     """Jitted ``(audio (B, T, mel), style_ids (B,)) -> pose (B, T, F)``.
+
+    ``quantize_int8=True`` swaps the mixture decoder (the ~52/62 GFLOP hot
+    loop of this graph) for its int8 twin (``ops/pallas/quant.py``): int8
+    MXU dots at ~2x the bf16 rate, post-training symmetric quantization
+    calibrated on ``calib=(audio, style_ids)`` (required).  This is an
+    OPT-IN accuracy/speed tier — measured drift is a few percent, outside
+    the 1%% contract of the default fused path; bench.py reports it.
 
     Weights are passed as explicit jit arguments (NOT closures) — closing over
     the ~25 MB of folded weights bakes them in as executable constants, which
@@ -156,12 +164,36 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
         cfg.out_feats)
     c0 = int(fd.pop("c0"))      # static ints must not become tracers
     fd.pop("out_feats")
+    s_in = None
+    if quantize_int8:
+        from mixstage_tpu.ops.pallas.quant import quantize_folded_decoder
+
+        if calib is None:
+            raise ValueError("quantize_int8 needs calib=(audio, style_ids) "
+                             "for the one-shot activation calibration pass")
+        ca = jnp.asarray(calib[0], jnp.float32)
+        cw = jax.nn.one_hot(jnp.asarray(calib[1], jnp.int32),
+                            cfg.num_speakers, dtype=ca.dtype) \
+            if jnp.asarray(calib[1]).ndim == 1 else \
+            jnp.asarray(calib[1], ca.dtype)
+        cB, cT = ca.shape[0], ca.shape[1]
+        feats = factory.gen.apply(
+            {"params": state.g_params["gen"],
+             "batch_stats": state.g_state["gen"]},
+            [ca], jnp.zeros((cB, cT, cfg.out_feats), ca.dtype),
+            cw[:, None, :].repeat(cT, axis=1), method="features",
+            input_modalities=list(cfg.input_modalities),
+            use_pose_input=False, train=False)
+        C0p_ = fd["w0"].shape[2]
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, C0p_ - feats.shape[-1])))
+        fd = quantize_folded_decoder(fd, feats)
+        s_in = fd.pop("s_in")   # static: the int8 kernel jit requires it
     fd = jax.device_put(fd)
     fc = extract_folded_classify(state.g_params["gen"], state.g_state["gen"])
     fc.pop("c0")
     fc = jax.device_put(fc)
     G = cfg.num_clusters
-    C0p = fd["w0"].shape[2]
+    C0p = fd["w0_i8" if quantize_int8 else "w0"].shape[2]
 
     def serve_body(gen_params, gen_bstats, fd, fc, audio, style_w):
         B, T = audio.shape[0], audio.shape[1]
@@ -183,13 +215,28 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
                 xp, fc["w0"], fc["wc"], fc["biases"], fc["w_logits"],
                 fc["b_logits"], groups=1, batch_tile=batch_tile)
             soft = jax.nn.softmax(scores, axis=-1)
-            logits = fused_mixstage_decoder(
-                xp, fd["w0"], fd["wc"], fd["biases"], fd["w_logits"],
-                fd["b_logits"], groups=G, batch_tile=batch_tile)
+            if quantize_int8:
+                from mixstage_tpu.ops.pallas.quant import \
+                    fused_mixstage_decoder_int8
+                logits = fused_mixstage_decoder_int8(
+                    xp, fd["w0_i8"], fd["wc_i8"], fd["m0"], fd["mc"],
+                    fd["rq"], fd["biases"], fd["wl_i8"], fd["ml"],
+                    fd["b_logits"], s_in=s_in, groups=G,
+                    batch_tile=batch_tile).astype(audio.dtype)
+            else:
+                logits = fused_mixstage_decoder(
+                    xp, fd["w0"], fd["wc"], fd["biases"], fd["w_logits"],
+                    fd["b_logits"], groups=G, batch_tile=batch_tile)
         else:
             x, _, soft = factory.gen.apply(variables, [audio], y_dummy, sw,
                                            method="backbone", **common)
-            logits = folded_decoder_xla(x, {**fd, "c0": c0}, G)
+            if quantize_int8:
+                from mixstage_tpu.ops.pallas.quant import decoder_int8_xla
+                xp = jnp.pad(x, ((0, 0), (0, 0), (0, C0p - x.shape[-1])))
+                logits = decoder_int8_xla(
+                    xp, {**fd, "s_in": s_in}, G).astype(audio.dtype)
+            else:
+                logits = folded_decoder_xla(x, {**fd, "c0": c0}, G)
         return index_select_outputs(logits, soft, G)
 
     def _style_weights(style, audio):
