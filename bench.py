@@ -510,6 +510,8 @@ def main():
     serve32_sec = marginal_time(serve32_chain, n=16)
     serve_fps = 32 * T / serve32_sec
 
+    ref_out = np.asarray(serve(audio32, style32), np.float64)
+
     # bf16 serving variant: same weights, bf16 compute (~+11%, ~0.5% drift —
     # within the 1% fused-serving contract)
     bf16_serve_fps = bf16_serve_drift = None
@@ -517,7 +519,6 @@ def main():
         bf16_eval = build(jnp.bfloat16, donate=False)
         serve16 = build_serving_fn(bf16_eval, estate)
         a16 = audio32.astype(jnp.bfloat16)
-        ref_out = np.asarray(serve(audio32, style32), np.float64)
         out16 = np.asarray(serve16(a16, style32), np.float64)
         bf16_serve_drift = float(np.abs(out16 - ref_out).mean()
                                  / np.abs(ref_out).mean())
@@ -533,6 +534,31 @@ def main():
             f"(drift vs f32 {bf16_serve_drift:.3%})")
     except Exception as e:  # noqa: BLE001
         log(f"bf16 serving unavailable ({e})")
+
+    # int8 serving tier (ops/pallas/quant.py): post-training symmetric
+    # quantization of the mixture decoder (~52 of the ~62 GFLOP per call) —
+    # int8 MXU dots run at ~2x the bf16 rate on v5e.  Opt-in accuracy tier:
+    # the drift is measured and reported (a few percent, outside the 1%
+    # fused-path contract), never assumed.
+    int8_serve_fps = int8_serve_drift = None
+    try:
+        serve8 = build_serving_fn(eval_factory, estate, quantize_int8=True,
+                                  calib=(audio32, style32))
+        out8 = np.asarray(serve8(audio32, style32), np.float64)
+        int8_serve_drift = float(np.abs(out8 - ref_out).mean()
+                                 / np.abs(ref_out).mean())
+
+        def serve8_chain(n):
+            out = None
+            for _ in range(n):
+                out = serve8(audio32, style32)
+            return out.sum()
+
+        int8_serve_fps = 32 * T / marginal_time(serve8_chain, n=16)
+        log(f"serving bs32 int8: {int8_serve_fps:,.0f} frames/s/chip "
+            f"(drift vs f32 {int8_serve_drift:.3%})")
+    except Exception as e:  # noqa: BLE001
+        log(f"int8 serving unavailable ({e})")
     if hasattr(serve, "jitted"):
         style_arg = (serve.style_weights(style32, audio32)
                      if hasattr(serve, "style_weights") else style32)
@@ -592,6 +618,12 @@ def main():
                 else None,
             "serving_bs32_bf16_drift_vs_f32":
                 round(bf16_serve_drift, 5) if bf16_serve_drift is not None
+                else None,
+            "serving_bs32_int8_frames_per_sec_per_chip":
+                round(int8_serve_fps, 1) if int8_serve_fps is not None
+                else None,
+            "serving_bs32_int8_drift_vs_f32":
+                round(int8_serve_drift, 5) if int8_serve_drift is not None
                 else None,
             "serving_bs32_gflops": round(serve_flops / 1e9, 1)
                 if serve_flops else None,

@@ -11,6 +11,10 @@ Endpoints: POST /v1/pose (JSON {"audio": (T, mel), "style": id} or npz
 octet-stream), GET /healthz, GET /stats.  The jitted graph has a static
 batch; the DynamicBatcher pads partial micro-batches (see
 mixstage_tpu/serving/server.py).
+
+``-serve_int8 1`` serves the int8-quantized mixture decoder
+(ops/pallas/quant.py; ~2x MXU rate on v5e), calibrated on one real data
+batch at startup — an opt-in accuracy tier with a few percent drift.
 """
 
 from __future__ import annotations
@@ -55,7 +59,18 @@ def loop(args: Config, exp_num: int):
             from jax.sharding import Mesh
 
             mesh = Mesh(np.array(jax.devices()), ("data",))
-        serve_fn = build_serving_fn(trainer.factory, trainer.state, mesh=mesh)
+        quant_kw = {}
+        if getattr(trainer.args, "serve_int8", 0):
+            # one-shot activation calibration on a real data batch (the
+            # quantization scheme's static per-layer scales — quant.py)
+            cb = trainer._peek_batch()
+            sty = (np.asarray(cb["style"][:, 0], np.int32)
+                   if "style" in cb
+                   else np.zeros((cb["x"][0].shape[0],), np.int32))
+            quant_kw = {"quantize_int8": True,
+                        "calib": (np.asarray(cb["x"][0], np.float32), sty)}
+        serve_fn = build_serving_fn(trainer.factory, trainer.state, mesh=mesh,
+                                    **quant_kw)
         num_styles = trainer.factory.cfg.num_speakers
         wait_ms = float(getattr(trainer.args, "serve_wait_ms", None) or 5.0)
 

@@ -171,6 +171,11 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
      "serving variants to export: 'xla' (portable cpu+tpu folded graph) "
      "and/or 'pallas' (TPU fused fast path), comma-separated"),
     ("serve_port", int, 8008, "HTTP port for cli.serve (0 = ephemeral)"),
+    ("serve_int8", int, 0,
+     "serve the int8-quantized mixture decoder (ops/pallas/quant.py): "
+     "~2x MXU rate on v5e, post-training symmetric quantization calibrated "
+     "on one real data batch; opt-in accuracy tier — a few percent drift, "
+     "outside the 1% fused-path contract"),
     ("serve_wait_ms", float, 5.0,
      "dynamic-batcher gather window for cli.serve (per-request latency "
      "bound before a partial batch is padded and dispatched)"),

@@ -44,6 +44,53 @@ def _q(w, scale):
     return jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
 
 
+@functools.partial(jax.jit, static_argnames=("negative_slope",))
+def _quantize_all(w0, wc, biases, wl, bl, x_calib, s_in,
+                  negative_slope: float = 0.2):
+    """The whole quantization — weight scales, calibration forward pass,
+    combined multipliers — as ONE jitted graph.  The remote-compile tunnel
+    makes eager op-at-a-time quantization pathological (each host-synced
+    einsum is a 20-60 s compile); here the calibration chain (G groups x
+    L+1 layers, unrolled — G and L are small statics) compiles once."""
+    G = w0.shape[0]
+    L = wc.shape[0]
+
+    sw0 = _colmax(w0, (1, 2))                      # (G, C)
+    swc = _colmax(wc, (2, 3))                      # (L, G, C)
+    swl = _colmax(wl, (1,))                        # (G, F)
+    w0_i8 = _q(w0, sw0[:, None, None, :])
+    wc_i8 = _q(wc, swc[:, :, None, None, :])
+    wl_i8 = _q(wl, swl[:, None, :])
+
+    # one-shot f32 calibration pass: per-(group, layer) activation maxima,
+    # vmapped over groups (the f32 folded-decoder chain, same op order as
+    # folded_decoder_xla)
+    xs = _shift3(x_calib)
+
+    def calib_group(w0g, wcg, bg):
+        h = jnp.einsum("btkc,kcd->btd", xs, w0g) + bg[0]
+        h = jnp.where(h >= 0, h, negative_slope * h)
+        maxes = [jnp.max(jnp.abs(h))]
+        for l in range(L):
+            h = jnp.einsum("btkc,kcd->btd", _shift3(h), wcg[l]) + bg[l + 1]
+            h = jnp.where(h >= 0, h, negative_slope * h)
+            maxes.append(jnp.max(jnp.abs(h)))
+        return jnp.stack(maxes)
+
+    act = jax.vmap(calib_group, in_axes=(0, 1, 0))(w0, wc, biases)  # (G,L+1)
+    a = jnp.maximum(act, 1e-8).astype(jnp.float32) / 127.0
+
+    m0 = s_in * sw0                                 # (G, C)
+    mc = a.T[:L, :, None] * swc                     # (L, G, C): in-scale of
+    # chain layer l is the output scale of layer l-1 => a[:, l]
+    ml = a[:, L][:, None] * swl                     # (G, F)
+    rq = 1.0 / a                                    # (G, L+1)
+    return {"w0_i8": w0_i8, "wc_i8": wc_i8, "wl_i8": wl_i8,
+            "m0": m0, "mc": mc, "ml": ml, "rq": rq,
+            "biases": biases.astype(jnp.float32),
+            "b_logits": bl.astype(jnp.float32)}
+
+
 def quantize_folded_decoder(fd, x_calib, negative_slope: float = 0.2):
     """Quantize an ``extract_folded_decoder`` dict against calibration
     features.
@@ -61,45 +108,20 @@ def quantize_folded_decoder(fd, x_calib, negative_slope: float = 0.2):
     ``m0 (G, C)``, ``mc (L, G, C)``, ``ml (G, F)``, requant reciprocals
     ``rq (G, L+1)`` (1/activation-scale per layer output), input scale
     ``s_in`` (python float, static), and the f32 biases.
+
+    Exactly two device round-trips: the input-scale fetch (``s_in`` must be
+    a static jit arg of the int8 kernel) and the fused quantize+calibrate
+    graph — the tunnel's per-compile cost makes anything op-at-a-time here
+    pathological.
     """
-    w0, wc = fd["w0"], fd["wc"]
-    biases, wl, bl = fd["biases"], fd["w_logits"], fd["b_logits"]
-    G = w0.shape[0]
-    L = wc.shape[0]
-
-    sw0 = _colmax(w0, (1, 2))                      # (G, C)
-    swc = _colmax(wc, (2, 3))                      # (L, G, C)
-    swl = _colmax(wl, (1,))                        # (G, F)
-    w0_i8 = _q(w0, sw0[:, None, None, :])
-    wc_i8 = _q(wc, swc[:, :, None, None, :])
-    wl_i8 = _q(wl, swl[:, None, :])
-
-    # one-shot f32 calibration pass: per-(group, layer) activation maxima
-    s_in = float(jnp.max(jnp.abs(x_calib)).item()) / 127.0
+    s_in = float(np.asarray(jnp.max(jnp.abs(x_calib)))) / 127.0
     s_in = max(s_in, 1e-8)
-    act = np.zeros((G, L + 1), np.float64)
-    for g in range(G):
-        h = jnp.einsum("btkc,kcd->btd",
-                       _shift3(x_calib), w0[g]) + biases[g, 0]
-        h = jnp.where(h >= 0, h, negative_slope * h)
-        act[g, 0] = float(jnp.max(jnp.abs(h)).item())
-        for l in range(L):
-            h = jnp.einsum("btkc,kcd->btd",
-                           _shift3(h), wc[l, g]) + biases[g, l + 1]
-            h = jnp.where(h >= 0, h, negative_slope * h)
-            act[g, l + 1] = float(jnp.max(jnp.abs(h)).item())
-    a = jnp.asarray(np.maximum(act, 1e-8) / 127.0, jnp.float32)  # (G, L+1)
-
-    m0 = s_in * sw0                                 # (G, C)
-    mc = a.T[:L, :, None] * swc                     # (L, G, C): in-scale of
-    # chain layer l is the output scale of layer l-1 => a[:, l]
-    ml = a[:, L][:, None] * swl                     # (G, F)
-    rq = 1.0 / a                                    # (G, L+1)
-    return {"w0_i8": w0_i8, "wc_i8": wc_i8, "wl_i8": wl_i8,
-            "m0": m0, "mc": mc, "ml": ml, "rq": rq,
-            "biases": jnp.asarray(biases, jnp.float32),
-            "b_logits": jnp.asarray(bl, jnp.float32),
-            "s_in": s_in}
+    qfd = _quantize_all(fd["w0"], fd["wc"], fd["biases"], fd["w_logits"],
+                        fd["b_logits"], x_calib, s_in,
+                        negative_slope=negative_slope)
+    qfd = dict(qfd)
+    qfd["s_in"] = s_in
+    return qfd
 
 
 def _shift3(x):

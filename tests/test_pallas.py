@@ -65,6 +65,94 @@ def test_fused_decoder_matches_reference_interpret():
                                rtol=1e-4, atol=1e-4)
 
 
+def _random_folded_decoder(seed, B=2, T=64, G=4, C=128, F=96, L=2,
+                           C0=138, C0p=256):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, T, C0)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(G, 3, C0p, C)) * 0.05, jnp.float32)
+    w0 = w0.at[:, :, C0:, :].set(0.0)
+    wc = jnp.asarray(rng.normal(size=(L, G, 3, C, C)) * 0.05, jnp.float32)
+    biases = jnp.asarray(rng.normal(size=(G, L + 1, C)) * 0.1, jnp.float32)
+    wl = jnp.asarray(rng.normal(size=(G, C, F)) * 0.05, jnp.float32)
+    bl = jnp.asarray(rng.normal(size=(G, F)) * 0.1, jnp.float32)
+    fd = {"w0": w0, "wc": wc, "biases": biases, "w_logits": wl,
+          "b_logits": bl}
+    return x, fd, G, C0, C0p
+
+
+def test_int8_decoder_parity_and_drift_interpret():
+    """Post-training int8 decoder (ops/pallas/quant.py): the Pallas kernel
+    (interpret mode) must match the XLA int8 reference to f32 dequant
+    rounding, and the quantization drift vs the f32 folded decoder must stay
+    within the documented few-percent envelope on random weights."""
+    from mixstage_tpu.ops.pallas.quant import (decoder_int8_xla,
+                                               fused_mixstage_decoder_int8,
+                                               quantize_folded_decoder)
+    from mixstage_tpu.serve import folded_decoder_xla
+
+    x, fd, G, C0, C0p = _random_folded_decoder(seed=2)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, C0p - C0)))
+    qfd = quantize_folded_decoder(dict(fd), xp)
+    s_in = qfd.pop("s_in")
+
+    ref = np.asarray(folded_decoder_xla(x, {**fd, "c0": C0}, G))
+    q_xla = np.asarray(decoder_int8_xla(xp, {**qfd, "s_in": s_in}, G))
+    q_pal = np.asarray(fused_mixstage_decoder_int8(
+        xp, qfd["w0_i8"], qfd["wc_i8"], qfd["m0"], qfd["mc"], qfd["rq"],
+        qfd["biases"], qfd["wl_i8"], qfd["ml"], qfd["b_logits"],
+        s_in=s_in, groups=G, batch_tile=2, interpret=True))
+
+    # int32 accumulation is order-free; only the final f32 dequant can round
+    # differently between the two lowerings.
+    scale = float(np.abs(ref).mean())
+    np.testing.assert_allclose(q_pal, q_xla, atol=1e-5 * scale, rtol=0)
+
+    # measured on this seed: mean 2.4%, max 15% of signal scale
+    err = np.abs(q_xla - ref)
+    assert err.mean() / scale < 0.05, f"int8 mean drift {err.mean()/scale:.2%}"
+    assert err.max() / scale < 0.40, f"int8 max drift {err.max()/scale:.2%}"
+    # and the tier is not accidentally a no-op
+    assert err.mean() / scale > 1e-4
+
+
+@pytest.mark.slow
+def test_serving_int8_path_end_to_end():
+    """build_serving_fn(quantize_int8=True): calibration runs off the real
+    backbone features, the quantized graph serves finite poses, and the
+    drift vs the f32 serving path stays in the documented envelope."""
+    from mixstage_tpu.serve import build_serving_fn
+    from mixstage_tpu.train.steps import StepConfig, StepFactory
+
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=4, num_speakers=2)
+    factory = StepFactory(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    B, T = 2, 64
+    batch = {
+        "x": (jnp.asarray(rng.normal(size=(B, T, 128)), jnp.float32),),
+        "y": jnp.asarray(rng.normal(size=(B, T, 96)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 4, size=(B, T))),
+        "style": jnp.asarray(np.zeros((B, T)), jnp.int32),
+    }
+    state = factory.init(jax.random.key(0), batch)
+    styles = jnp.zeros((B,), jnp.int32)
+
+    with pytest.raises(ValueError, match="calib"):
+        build_serving_fn(factory, state, use_pallas=False,
+                         quantize_int8=True)
+
+    p32 = np.asarray(build_serving_fn(factory, state, use_pallas=False)(
+        batch["x"][0], styles))
+    serve8 = build_serving_fn(factory, state, use_pallas=False,
+                              quantize_int8=True,
+                              calib=(batch["x"][0], styles))
+    p8 = np.asarray(serve8(batch["x"][0], styles))
+    assert np.isfinite(p8).all()
+    scale = float(np.abs(p32).mean())
+    rel = np.abs(p8 - p32).mean() / scale
+    assert 1e-4 < rel < 0.10, f"int8 serving drift {rel:.2%} out of envelope"
+
+
 @pytest.mark.slow
 def test_serving_fn_matches_training_eval():
     """The folded-BN serving path must match the flax eval forward."""
@@ -188,3 +276,27 @@ def test_serving_pallas_path_on_tpu_within_drift_budget():
     scale = np.abs(pose_xla).mean()
     rel = np.abs(pose_pal - pose_xla).mean() / max(scale, 1e-9)
     assert rel <= 0.01, f"fused serving drift {rel:.4%} exceeds 1% budget"
+
+
+@pytest.mark.tpu
+def test_int8_decoder_compiled_on_tpu():
+    """The int8 Pallas kernel COMPILED by Mosaic vs the int8 XLA reference:
+    the int32 MXU accumulation is exact, so only f32 dequant rounding may
+    differ.  Run: MIXSTAGE_TPU_TESTS=1 python -m pytest tests/ -m tpu -q"""
+    from mixstage_tpu.ops.pallas.quant import (decoder_int8_xla,
+                                               fused_mixstage_decoder_int8,
+                                               quantize_folded_decoder)
+
+    x, fd, G, C0, C0p = _random_folded_decoder(seed=6, B=4, G=8)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, C0p - C0)))
+    qfd = quantize_folded_decoder(dict(fd), xp)
+    s_in = qfd.pop("s_in")
+    ref = np.asarray(decoder_int8_xla(xp, {**qfd, "s_in": s_in}, G))
+    out = np.asarray(fused_mixstage_decoder_int8(
+        xp, qfd["w0_i8"], qfd["wc_i8"], qfd["m0"], qfd["mc"], qfd["rq"],
+        qfd["biases"], qfd["wl_i8"], qfd["ml"], qfd["b_logits"],
+        s_in=s_in, groups=G, interpret=False))
+    scale = float(np.abs(ref).mean())
+    err = np.abs(out - ref)
+    assert err.mean() / scale < 1e-3, f"mean dev {err.mean() / scale:.2e}"
+    assert err.max() / scale < 0.01, f"max dev {err.max() / scale:.2%}"
