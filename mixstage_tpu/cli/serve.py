@@ -22,6 +22,31 @@ from __future__ import annotations
 from mixstage_tpu.config import Config, argparse_n_loop
 
 
+def _calib_windows(trainer, n_batches: int, batch_size: int = 8):
+    """Pool several real loader windows into one int8 calibration batch.
+
+    Static activation scales clip everything above the calibration maxima,
+    so the sample should cover the activation distribution — a single
+    2-sample peek under-estimates per-layer maxima (ADVICE r3)."""
+    import numpy as np
+
+    xs, stys = [], []
+    for loader in (trainer.data_train, trainer.data_dev, trainer.data_test):
+        for batch in loader.iter_all(batch_size=batch_size):
+            cb = trainer.get_processed_batch(batch)[0]
+            xs.append(np.asarray(cb["x"][0], np.float32))
+            stys.append(np.asarray(cb["style"][:, 0], np.int32)
+                        if "style" in cb
+                        else np.zeros((cb["x"][0].shape[0],), np.int32))
+            if len(xs) >= n_batches:
+                break
+        if len(xs) >= n_batches:
+            break
+    if not xs:
+        raise RuntimeError("dataset is empty — cannot calibrate -serve_int8")
+    return np.concatenate(xs), np.concatenate(stys)
+
+
 def loop(args: Config, exp_num: int):
     assert args.load or args.export_dir, \
         "pass -load <PREFIX_weights.p> or -export_dir <artifact>"
@@ -32,6 +57,7 @@ def loop(args: Config, exp_num: int):
                                       start_http_server)
 
     wav_batcher = None
+    mel_bins = static_frames = None
     if args.export_dir and not args.load:
         # serve straight from an AOT artifact — no checkpoint, no model code
         from mixstage_tpu.export import load_serving
@@ -40,6 +66,8 @@ def loop(args: Config, exp_num: int):
         batch = serve_fn.static_batch
         num_styles = serve_fn.manifest["num_speakers"]
         wait_ms = float(args.serve_wait_ms or 5.0)
+        mel_bins = int(serve_fn.manifest["mel"])
+        static_frames = int(serve_fn.frames)  # the AOT graph's T is static
     else:
         from mixstage_tpu.config import get_args_update_dict
         from mixstage_tpu.serve import build_serving_fn
@@ -59,16 +87,15 @@ def loop(args: Config, exp_num: int):
             from jax.sharding import Mesh
 
             mesh = Mesh(np.array(jax.devices()), ("data",))
+        mel_bins = int(trainer._peek_batch()["x"][0].shape[-1])
         quant_kw = {}
         if getattr(trainer.args, "serve_int8", 0):
-            # one-shot activation calibration on a real data batch (the
-            # quantization scheme's static per-layer scales — quant.py)
-            cb = trainer._peek_batch()
-            sty = (np.asarray(cb["style"][:, 0], np.int32)
-                   if "style" in cb
-                   else np.zeros((cb["x"][0].shape[0],), np.int32))
+            # activation calibration pooled over several real loader windows
+            # (static per-layer scales — quant.py; a single 2-sample peek
+            # under-estimates activation maxima and over-clips live traffic)
+            n_cal = int(getattr(trainer.args, "serve_calib_batches", 0) or 8)
             quant_kw = {"quantize_int8": True,
-                        "calib": (np.asarray(cb["x"][0], np.float32), sty)}
+                        "calib": _calib_windows(trainer, n_cal)}
         serve_fn = build_serving_fn(trainer.factory, trainer.state, mesh=mesh,
                                     **quant_kw)
         num_styles = trainer.factory.cfg.num_speakers
@@ -77,7 +104,10 @@ def loop(args: Config, exp_num: int):
     def run(audio, style):
         return serve_fn(audio, np.asarray(style))
 
-    batcher = DynamicBatcher(run, batch_size=batch, max_wait_ms=wait_ms)
+    max_queue = int(args.serve_max_queue or 0) or None
+    batcher = DynamicBatcher(run, batch_size=batch, max_wait_ms=wait_ms,
+                             input_shape=(static_frames, mel_bins),
+                             max_queue=max_queue)
     # raw-16kHz endpoint when the model consumes the log_mel_400 frontend
     # (checkpoint mode only; artifacts currently export the mel-input graph)
     if args.load and \
@@ -87,11 +117,12 @@ def loop(args: Config, exp_num: int):
         wav_fn = build_waveform_serving_fn(trainer.factory, trainer.state)
         wav_batcher = DynamicBatcher(
             lambda a, s: wav_fn(a, np.asarray(s)), batch_size=batch,
-            max_wait_ms=wait_ms)
+            max_wait_ms=wait_ms, input_shape=(None,), max_queue=max_queue)
     frames = int(getattr(serve_fn, "frames", 0) or 64)
     service = PoseService(batcher, backend=jax.default_backend(),
                           num_styles=num_styles,
-                          waveform_batcher=wav_batcher, frames=frames)
+                          waveform_batcher=wav_batcher, frames=frames,
+                          mel_bins=mel_bins, static_frames=static_frames)
     port = int(args.serve_port or 8008)
     server = start_http_server(service, port=port, host="0.0.0.0")
     print(f"serving on :{server.server_address[1]} "

@@ -179,6 +179,13 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("serve_wait_ms", float, 5.0,
      "dynamic-batcher gather window for cli.serve (per-request latency "
      "bound before a partial batch is padded and dispatched)"),
+    ("serve_calib_batches", int, 8,
+     "number of loader windows pooled for the -serve_int8 one-shot "
+     "activation calibration (more windows = tighter per-layer activation "
+     "maxima than a single 2-sample peek)"),
+    ("serve_max_queue", int, 0,
+     "serving queue bound before requests shed with HTTP 429 "
+     "(0 = 4x the static batch size)"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

@@ -30,16 +30,23 @@ dependency-free:
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import numpy as np
+
+
+class Overloaded(RuntimeError):
+    """Raised by ``DynamicBatcher.submit`` when the request queue is full
+    (load shedding — the HTTP layer maps this to 429)."""
 
 
 class DynamicBatcher:
@@ -47,14 +54,32 @@ class DynamicBatcher:
 
     ``serve_fn``: ``(audio (B, T, mel), style (B,) int32) -> pose (B, T, F)``
     with a fixed ``B = batch_size`` (the jitted serving graph's shape).
+
+    ``input_shape``: optional per-request shape contract, e.g. ``(None, 64)``
+    for any-length 64-mel windows or ``(64, 64)`` for a static-T graph.
+    ``None`` entries match any extent.  Violations raise ``ValueError`` in
+    the *caller's* thread at submit time — nothing malformed ever reaches
+    the worker.
+
+    ``max_queue``: backpressure bound (default ``4 * batch_size``); beyond
+    it ``submit`` sheds with :class:`Overloaded` instead of growing memory.
+
+    Requests whose audio shape / style form differ are batched separately
+    (one device batch must ``np.stack``); stragglers wait for the next
+    drain rather than poisoning a mixed batch.
     """
 
     def __init__(self, serve_fn: Callable, batch_size: int,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0,
+                 input_shape: Optional[Sequence[Optional[int]]] = None,
+                 max_queue: Optional[int] = None):
         self.serve_fn = serve_fn
         self.batch_size = int(batch_size)
         self.max_wait_s = max_wait_ms / 1e3
-        self._queue: "queue.Queue" = queue.Queue()
+        self.input_shape = None if input_shape is None else tuple(input_shape)
+        self.max_queue = int(max_queue or 4 * self.batch_size)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
+        self._pending: "collections.deque" = collections.deque()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="pose-batcher")
@@ -62,6 +87,7 @@ class DynamicBatcher:
         self.requests = 0
         self.batches = 0
         self.occupancy_sum = 0
+        self.shed = 0
         self.latencies_ms: list = []
         self._stats_lock = threading.Lock()
         self._worker.start()
@@ -71,14 +97,32 @@ class DynamicBatcher:
         """Enqueue one (T, mel) window; resolves to a (T, feats) pose.
 
         ``style``: a scalar id, or a (num_styles,) float vector of mixture
-        weights — all requests of one server must use the same form so
-        batches stack."""
+        weights.  Raises ``ValueError`` on a shape-contract violation and
+        :class:`Overloaded` when the queue is full."""
         fut: Future = Future()
+        audio = np.asarray(audio, np.float32)  # ragged input raises here
+        if self.input_shape is not None:
+            ok = audio.ndim == len(self.input_shape) and all(
+                want is None or have == want
+                for have, want in zip(audio.shape, self.input_shape))
+            if not ok:
+                raise ValueError(
+                    f"audio shape {audio.shape} does not match the serving "
+                    f"graph's expected {self.input_shape} (None = any)")
         style = np.asarray(style)
         if style.ndim == 0:
             style = int(style)
-        self._queue.put((np.asarray(audio, np.float32), style, fut,
-                         time.perf_counter()))
+        elif style.ndim != 1:
+            raise ValueError(f"style must be a scalar id or a 1-D mixture "
+                             f"weight vector, got shape {style.shape}")
+        try:
+            self._queue.put_nowait((audio, style, fut, time.perf_counter()))
+        except queue.Full:
+            with self._stats_lock:
+                self.shed += 1
+            raise Overloaded(
+                f"serving queue full ({self.max_queue} waiting); retry later"
+            ) from None
         return fut
 
     def close(self):
@@ -96,28 +140,55 @@ class DynamicBatcher:
                 "mean_occupancy": round(self.occupancy_sum
                                         / max(1, self.batches), 2),
                 "batch_size": self.batch_size,
+                "shed": self.shed,
+                "queue_depth": self._queue.qsize() + len(self._pending),
                 "latency_ms_p50": pct(0.50),
                 "latency_ms_p99": pct(0.99),
             }
 
     # --------------------------------------------------------------- worker
+    @staticmethod
+    def _batch_key(item):
+        """Requests must share audio shape + style form to stack into one
+        device batch; the key partitions them."""
+        audio, style = item[0], item[1]
+        return (audio.shape,
+                "id" if isinstance(style, int) else np.shape(style))
+
     def _drain(self):
         """Block for one request, then take whatever else arrives within the
-        wait budget, up to the static batch size."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return None
+        wait budget, up to the static batch size.  Only requests matching the
+        first one's batch key join; the rest wait in ``_pending`` and lead
+        the next drain (FIFO per shape class)."""
+        if self._pending:
+            first = self._pending.popleft()
+        else:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                return None
+        key = self._batch_key(first)
         items = [first]
+        # matching stragglers from previous drains go first
+        keep = collections.deque()
+        while self._pending and len(items) < self.batch_size:
+            it = self._pending.popleft()
+            (items if self._batch_key(it) == key else keep).append(it)
+        keep.extend(self._pending)
+        self._pending = keep
         deadline = time.perf_counter() + self.max_wait_s
         while len(items) < self.batch_size:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 break
             try:
-                items.append(self._queue.get(timeout=remaining))
+                it = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
+            if self._batch_key(it) == key:
+                items.append(it)
+            else:
+                self._pending.append(it)
         return items
 
     def _run(self):
@@ -126,19 +197,19 @@ class DynamicBatcher:
             if not items:
                 continue
             n = len(items)
-            audio = np.stack([it[0] for it in items])
-            styles = [it[1] for it in items]
-            style = (np.asarray(styles, np.int32)
-                     if all(np.ndim(s) == 0 for s in styles)
-                     else np.stack([np.asarray(s, np.float32)
-                                    for s in styles]))
-            if n < self.batch_size:  # pad to the jitted static shape
-                pad = self.batch_size - n
-                audio = np.concatenate(
-                    [audio, np.repeat(audio[:1], pad, axis=0)])
-                style = np.concatenate(
-                    [style, np.repeat(style[:1], pad, axis=0)])
-            try:
+            try:  # nothing in here may kill the worker thread
+                audio = np.stack([it[0] for it in items])
+                styles = [it[1] for it in items]
+                style = (np.asarray(styles, np.int32)
+                         if all(np.ndim(s) == 0 for s in styles)
+                         else np.stack([np.asarray(s, np.float32)
+                                        for s in styles]))
+                if n < self.batch_size:  # pad to the jitted static shape
+                    pad = self.batch_size - n
+                    audio = np.concatenate(
+                        [audio, np.repeat(audio[:1], pad, axis=0)])
+                    style = np.concatenate(
+                        [style, np.repeat(style[:1], pad, axis=0)])
                 pose = np.asarray(self.serve_fn(audio, style))
             except Exception as exc:  # propagate to every waiter
                 for _, _, fut, _ in items:
@@ -162,13 +233,19 @@ class PoseService:
     def __init__(self, batcher: DynamicBatcher, backend: str = "unknown",
                  timeout_s: float = 30.0, num_styles: Optional[int] = None,
                  waveform_batcher: Optional[DynamicBatcher] = None,
-                 frames: int = 64, stream_idle_s: float = 300.0):
+                 frames: int = 64, stream_idle_s: float = 300.0,
+                 mel_bins: Optional[int] = None,
+                 static_frames: Optional[int] = None):
         self.batcher = batcher
         self.backend = backend
         self.timeout_s = timeout_s
         # when known, scalar style ids are one-hot encoded so hard ids and
         # soft mixture weights can share one server (uniform batch shapes)
         self.num_styles = num_styles
+        # audio contract of the mel endpoint, validated pre-submit when known:
+        # (T, mel_bins); static_frames pins T for static-shape (AOT) graphs
+        self.mel_bins = mel_bins
+        self.static_frames = static_frames
         # optional raw-16kHz endpoint over serve.build_waveform_serving_fn
         self.waveform_batcher = waveform_batcher
         # streaming sessions: id -> [StreamingSession, last_used, lock]
@@ -188,16 +265,48 @@ class PoseService:
     def _style(self, style):
         arr = np.asarray(style)
         if arr.ndim == 0:
+            sid = int(arr)
             if self.num_styles is None:
-                return int(arr)
-            return np.eye(self.num_styles, dtype=np.float32)[int(arr)]
+                return sid
+            if not 0 <= sid < self.num_styles:
+                raise ValueError(f"style id {sid} out of range "
+                                 f"[0, {self.num_styles})")
+            return np.eye(self.num_styles, dtype=np.float32)[sid]
+        if arr.ndim != 1:
+            raise ValueError(f"style must be a scalar id or a 1-D mixture "
+                             f"weight vector, got shape {arr.shape}")
         if self.num_styles is not None and arr.shape != (self.num_styles,):
             raise ValueError(f"style mixture must have {self.num_styles} "
                              f"weights, got shape {arr.shape}")
         return arr.astype(np.float32)
 
+    def _audio(self, audio, waveform: bool = False) -> np.ndarray:
+        """Validate a request's audio against the endpoint contract; raises
+        ValueError (→ HTTP 400) instead of letting a malformed array reach
+        the batcher worker."""
+        arr = np.asarray(audio, np.float32)  # ragged nesting raises here
+        if waveform:
+            if arr.ndim != 1:
+                raise ValueError(f"waveform endpoint expects a 1-D 16kHz "
+                                 f"sample array, got shape {arr.shape}")
+            return arr
+        if arr.ndim != 2:
+            raise ValueError(f"audio must be a (frames, mel) matrix, got "
+                             f"shape {arr.shape}")
+        if self.mel_bins is not None and arr.shape[1] != self.mel_bins:
+            raise ValueError(f"audio has {arr.shape[1]} mel bins, the model "
+                             f"expects {self.mel_bins}")
+        if self.static_frames is not None and \
+                arr.shape[0] != self.static_frames:
+            raise ValueError(f"this server's graph is compiled for exactly "
+                             f"{self.static_frames} frames, got "
+                             f"{arr.shape[0]}")
+        return arr
+
     def infer_json(self, payload: dict, waveform: bool = False) -> dict:
-        audio = np.asarray(payload["audio"], np.float32)
+        if "audio" not in payload:
+            raise ValueError("payload must carry an 'audio' field")
+        audio = self._audio(payload["audio"], waveform=waveform)
         style = self._style(payload.get("style", 0))
         pose = self._pick(waveform).submit(audio, style).result(
             self.timeout_s)
@@ -205,7 +314,9 @@ class PoseService:
 
     def infer_npz(self, body: bytes, waveform: bool = False) -> bytes:
         with np.load(io.BytesIO(body)) as z:
-            audio = z["audio"].astype(np.float32)
+            if "audio" not in z:
+                raise ValueError("npz must carry an 'audio' array")
+            audio = self._audio(z["audio"], waveform=waveform)
             style = self._style(z["style"]) if "style" in z else \
                 self._style(0)
         pose = self._pick(waveform).submit(audio, style).result(
@@ -253,7 +364,15 @@ class PoseService:
 
     def stream_feed(self, sid: str, payload: dict) -> dict:
         entry = self._stream(sid)
+        if "audio" not in payload:
+            raise ValueError("payload must carry an 'audio' field")
         audio = np.asarray(payload["audio"], np.float32)
+        if audio.ndim != 2:
+            raise ValueError(f"stream feed expects (n, mel) mel-frame "
+                             f"chunks, got shape {audio.shape}")
+        if self.mel_bins is not None and audio.shape[1] != self.mel_bins:
+            raise ValueError(f"audio has {audio.shape[1]} mel bins, the "
+                             f"model expects {self.mel_bins}")
         with entry[2]:  # serialize feeds per session
             out = entry[0].feed(audio)
             entry[1] = time.time()
@@ -340,6 +459,15 @@ def _make_handler(service: PoseService):
                 else:
                     self._send_json(200, service.infer_json(
                         json.loads(body.decode()), waveform=waveform))
+            except Overloaded as exc:       # queue full → shed, retryable
+                self._send_json(429, {"error": str(exc)})
+            except LookupError as exc:      # unknown session / endpoint
+                self._send_json(404, {"error": f"{type(exc).__name__}: "
+                                               f"{exc}"})
+            except FuturesTimeout:          # device stuck / overloaded
+                self._send_json(
+                    503, {"error": "inference timed out; server overloaded "
+                                   "or backend unavailable"})
             except Exception as exc:  # noqa: BLE001 — surface to the client
                 self._send_json(400, {"error": f"{type(exc).__name__}: {exc}"})
 

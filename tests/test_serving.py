@@ -225,9 +225,13 @@ def test_http_waveform_endpoint_routing():
     try:
         body = json.dumps({"audio": np.ones((T_MEL, MEL)).tolist(),
                            "style": 0}).encode()
-        for path in ("/v1/pose", "/v1/pose_from_waveform"):
+        # the waveform endpoint takes raw 1-D samples, not a mel matrix
+        wav_body = json.dumps({"audio": np.ones((160,)).tolist(),
+                               "style": 0}).encode()
+        for path, data in (("/v1/pose", body),
+                           ("/v1/pose_from_waveform", wav_body)):
             req = urllib.request.Request(
-                base + path, data=body,
+                base + path, data=data,
                 headers={"Content-Type": "application/json"})
             urllib.request.urlopen(req, timeout=15).read()
         assert len(calls_mel) == 1 and len(calls_wav) == 1
@@ -236,19 +240,19 @@ def test_http_waveform_endpoint_routing():
         mel_b.close()
         wav_b.close()
 
-    # not configured → 400 with the configuration hint
+    # not configured → 404 with the configuration hint
     b2 = DynamicBatcher(fake_serve([]), batch_size=2, max_wait_ms=2.0)
     server2 = start_http_server(PoseService(b2), port=0)
     try:
         req = urllib.request.Request(
             f"http://127.0.0.1:{server2.server_address[1]}"
-            "/v1/pose_from_waveform", data=body,
+            "/v1/pose_from_waveform", data=wav_body,
             headers={"Content-Type": "application/json"})
         try:
             urllib.request.urlopen(req, timeout=15)
-            raise AssertionError("expected HTTP 400")
+            raise AssertionError("expected HTTP 404")
         except urllib.error.HTTPError as e:
-            assert e.code == 400
+            assert e.code == 404
             assert "not configured" in json.loads(e.read())["error"]
     finally:
         server2.shutdown()
@@ -305,6 +309,143 @@ def test_batcher_over_real_serving_fn():
     assert not np.allclose(pose_mix, ref)
 
 
+def test_poison_request_cannot_kill_the_server():
+    """VERDICT r3 weak #1: a malformed request must answer 400 and leave
+    the batcher worker alive — a subsequent valid request still gets 200.
+    (Previously np.stack of a wrong-shape batch killed the worker thread
+    and every later request hung to its timeout.)"""
+    calls = []
+    batcher = DynamicBatcher(fake_serve(calls), batch_size=4,
+                             max_wait_ms=2.0, input_shape=(None, MEL))
+    service = PoseService(batcher, backend="test", mel_bins=MEL)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post(audio, style=0):
+        req = urllib.request.Request(
+            base + "/v1/pose",
+            data=json.dumps({"audio": audio, "style": style}).encode(),
+            headers={"Content-Type": "application/json"})
+        return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+    try:
+        bad_payloads = [
+            np.ones((T_MEL, MEL + 1)).tolist(),    # wrong mel width
+            np.ones((T_MEL,)).tolist(),            # 1-D, not (T, mel)
+            [[1.0, 2.0], [3.0]],                   # ragged nesting
+            "not audio at all",                    # wrong type
+        ]
+        for bad in bad_payloads:
+            try:
+                post(bad)
+                raise AssertionError(f"expected 400 for {type(bad)}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, f"{bad!r} → {e.code}"
+        # missing audio field is 400 too
+        req = urllib.request.Request(
+            base + "/v1/pose", data=json.dumps({"style": 0}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # out-of-range / malformed style ids (num_styles-aware service)
+        svc2 = PoseService(batcher, num_styles=3)
+        for bad_style in (99, -1, [[0.5, 0.5]]):
+            with pytest.raises(ValueError):
+                svc2._style(bad_style)
+
+        # the worker thread survived: a valid request still answers
+        out = post(np.full((T_MEL, MEL), 2.0).tolist(), style=1)
+        np.testing.assert_allclose(np.asarray(out["pose"])[:, 0],
+                                   2.0 * MEL + 1000.0)
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_batcher_sheds_with_429_when_overloaded():
+    """Bounded queue: beyond max_queue, submits shed with Overloaded
+    (HTTP 429) instead of growing memory; /stats counts the drops."""
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow_serve(audio, style):
+        started.set()
+        release.wait(20)
+        return audio.sum(-1, keepdims=True)
+
+    batcher = DynamicBatcher(slow_serve, batch_size=2, max_wait_ms=1.0,
+                             max_queue=3)
+    service = PoseService(batcher, backend="test")
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    audio = np.ones((T_MEL, MEL), np.float32)
+    try:
+        # the worker drains up to batch_size immediately, then blocks in
+        # slow_serve; fill the queue past its bound
+        futs, shed = [], 0
+        from mixstage_tpu.serving import Overloaded
+        for _ in range(12):
+            try:
+                futs.append(batcher.submit(audio, 0))
+            except Overloaded:
+                shed += 1
+        assert shed >= 12 - 3 - batcher.batch_size - 1
+        assert batcher.stats()["shed"] == shed
+        assert batcher.stats()["queue_depth"] <= 3
+
+        # wait until the worker is parked inside slow_serve, then top the
+        # queue back up to its bound so the next submit MUST shed
+        assert started.wait(10)
+        while True:
+            try:
+                futs.append(batcher.submit(audio, 0))
+            except Overloaded:
+                break
+        assert batcher.stats()["queue_depth"] == 3
+
+        # over HTTP the shed surfaces as 429
+        req = urllib.request.Request(
+            base + "/v1/pose",
+            data=json.dumps({"audio": audio.tolist(), "style": 0}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected HTTP 429")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+    finally:
+        release.set()
+        server.shutdown()
+        batcher.close()
+
+
+def test_batcher_groups_mismatched_shapes_instead_of_crashing():
+    """Requests with different T (or style form) cannot share one np.stack;
+    the batcher partitions them into separate device batches and everyone
+    still gets a correct answer."""
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=4, max_wait_ms=30.0)
+    try:
+        a_short = np.full((T_MEL, MEL), 1.0, np.float32)
+        a_long = np.full((T_MEL + 4, MEL), 2.0, np.float32)
+        futs = [b.submit(a_short, 0), b.submit(a_long, 1),
+                b.submit(a_short, 2),
+                b.submit(a_short, np.array([0.5, 0.5], np.float32))]
+        rs = [f.result(15) for f in futs]
+        np.testing.assert_allclose(rs[0][:, 0], 1.0 * MEL)
+        np.testing.assert_allclose(rs[1][:, 0], 2.0 * MEL + 1000.0)
+        np.testing.assert_allclose(rs[2][:, 0], 1.0 * MEL + 2000.0)
+        assert np.isfinite(np.asarray(rs[3])).all()  # soft req got a batch
+        # three distinct batch keys → three device calls, all static-B
+        assert len(calls) == 3
+        assert all(shape[0] == 4 for shape, _ in calls)
+    finally:
+        b.close()
+
+
 def test_http_streaming_sessions_end_to_end():
     """Open → feed → finish over HTTP matches a local StreamingSession on
     the same fake model; sessions ride the shared batcher and are dropped
@@ -341,9 +482,9 @@ def test_http_streaming_sessions_end_to_end():
         assert stats["streams"] == 0
         try:
             stream.feed(x[:1])
-            assert False, "expected 400 for finished session"
+            assert False, "expected 404 for finished session"
         except urllib.error.HTTPError as e:
-            assert e.code == 400
+            assert e.code == 404
             assert "unknown or expired" in json.loads(e.read())["error"]
 
         # DELETE aborts an open session
