@@ -510,12 +510,22 @@ def main():
     serve32_sec = marginal_time(serve32_chain, n=16)
     serve_fps = 32 * T / serve32_sec
 
-    ref_out = np.asarray(serve(audio32, style32), np.float64)
+    # the f32 reference output shared by the bf16/int8 drift sections — kept
+    # best-effort (ADVICE r3): a transient failure here must only degrade
+    # those sections to null, not abort the whole benchmark
+    try:
+        ref_out = np.asarray(serve(audio32, style32), np.float64)
+    except Exception as e:  # noqa: BLE001
+        log(f"f32 drift-reference call failed ({e}); "
+            f"skipping bf16/int8 drift sections")
+        ref_out = None
 
     # bf16 serving variant: same weights, bf16 compute (~+11%, ~0.5% drift —
     # within the 1% fused-serving contract)
     bf16_serve_fps = bf16_serve_drift = None
     try:
+        if ref_out is None:
+            raise RuntimeError("no f32 reference output")
         bf16_eval = build(jnp.bfloat16, donate=False)
         serve16 = build_serving_fn(bf16_eval, estate)
         a16 = audio32.astype(jnp.bfloat16)
@@ -542,6 +552,8 @@ def main():
     # fused-path contract), never assumed.
     int8_serve_fps = int8_serve_drift = None
     try:
+        if ref_out is None:
+            raise RuntimeError("no f32 reference output")
         serve8 = build_serving_fn(eval_factory, estate, quantize_int8=True,
                                   calib=(audio32, style32))
         out8 = np.asarray(serve8(audio32, style32), np.float64)

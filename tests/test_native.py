@@ -7,11 +7,10 @@ from mixstage_tpu.data import native
 
 
 @pytest.fixture(scope="module")
-def lib():
-    lib = native.get_lib()
-    if lib is None:
-        pytest.skip("native toolchain unavailable")
-    return lib
+def lib(require_native):
+    # the prebuilt libbatcher.so ships in-repo: failure to load is a FAIL,
+    # not a skip (conftest.require_native)
+    return require_native(native.get_lib, native._LIB_PATH, "batcher")
 
 
 def test_gather_windows_matches_numpy(lib):

@@ -102,10 +102,17 @@ def test_int8_decoder_parity_and_drift_interpret():
         qfd["biases"], qfd["wl_i8"], qfd["ml"], qfd["b_logits"],
         s_in=s_in, groups=G, batch_tile=2, interpret=True))
 
-    # int32 accumulation is order-free; only the final f32 dequant can round
-    # differently between the two lowerings.
+    # int32 accumulation is order-free; only f32 requant rounding may flip a
+    # quantized activation LSB between the two lowerings, which amplifies
+    # through later int32 layers — so pin the same envelope the compiled-TPU
+    # twin uses (mean 1e-3 / max 1% of signal), not raw f32 closeness
+    # (ADVICE r3: the old atol=1e-5*scale was brittle across jax versions).
     scale = float(np.abs(ref).mean())
-    np.testing.assert_allclose(q_pal, q_xla, atol=1e-5 * scale, rtol=0)
+    lsb_err = np.abs(q_pal - q_xla)
+    assert lsb_err.mean() / scale < 1e-3, \
+        f"mean dev {lsb_err.mean() / scale:.2e}"
+    assert lsb_err.max() / scale < 0.01, \
+        f"max dev {lsb_err.max() / scale:.2%}"
 
     # measured on this seed: mean 2.4%, max 15% of signal scale
     err = np.abs(q_xla - ref)

@@ -10,6 +10,14 @@ from mixstage_tpu.data.skeleton import PARENTS
 from mixstage_tpu.htmlgrid.to_html import make_html_file
 
 
+@pytest.fixture
+def raster_lib(require_native):
+    """libraster.so ships prebuilt: load failure FAILS (conftest guard)."""
+    from mixstage_tpu.animation import raster
+
+    return require_native(raster.get_lib, raster._LIB_PATH, "raster")
+
+
 def test_mel_filterbank_properties():
     fb = mel_filterbank(16000, 512, 64, 125.0, 7500.0, norm=None)
     assert fb.shape == (64, 257)
@@ -140,13 +148,11 @@ def test_html_supplementary_page(tmp_path):
     assert "B1. Body Orientation Style" in html and "<video" in html
 
 
-def test_raster_native_matches_numpy_reference():
+def test_raster_native_matches_numpy_reference(raster_lib):
     """The C++ rasterizer and the pure-numpy fallback implement identical
     math (tapered-capsule coverage, per-bone uint8 quantization)."""
     from mixstage_tpu.animation import raster
 
-    if not raster.available():
-        pytest.skip("native raster lib unavailable (no toolchain)")
     rng = np.random.default_rng(3)
     y = np.cumsum(rng.normal(size=(4, 2, 52)), 0) * 25
     native = raster.rasterize(y, PARENTS, panel=128)
@@ -179,15 +185,13 @@ def test_raster_bone_geometry_and_color():
     assert (frames[0, 100, :480] == 255).all()
 
 
-def test_native_gif_encoder_roundtrip(tmp_path):
+def test_native_gif_encoder_roundtrip(tmp_path, raster_lib):
     """The native GIF89a/LZW encoder produces a bitstream PIL decodes back
     to exactly the nearest-palette mapping of the input frames."""
     from PIL import Image
 
     from mixstage_tpu.animation import raster
 
-    if raster.get_lib() is None:
-        pytest.skip("native raster lib unavailable (no toolchain)")
     y = np.cumsum(np.random.default_rng(1).normal(size=(6, 2, 52)), 0) * 10
     frames = raster.rasterize(y, PARENTS, panel=160)
     path = str(tmp_path / "clip.gif")
@@ -205,7 +209,7 @@ def test_native_gif_encoder_roundtrip(tmp_path):
         np.testing.assert_array_equal(dec, pal[d.argmin(-1)])
 
 
-def test_native_gif_encoder_fuzz_random_noise(tmp_path):
+def test_native_gif_encoder_fuzz_random_noise(tmp_path, raster_lib):
     """Adversarial LZW input: random palette-color noise fills the 4096-code
     dictionary repeatedly (clear-code path) and defeats the delta encoder's
     dirty-rect optimization — decode must still be exact."""
@@ -213,8 +217,6 @@ def test_native_gif_encoder_fuzz_random_noise(tmp_path):
 
     from mixstage_tpu.animation import raster
 
-    if raster.get_lib() is None:
-        pytest.skip("native raster lib unavailable (no toolchain)")
     rng = np.random.default_rng(7)
     pal = raster.gif_palette()
     idx = rng.integers(0, len(pal), size=(4, 64, 64))
@@ -433,15 +435,13 @@ def test_in_modalities_helper():
     assert not in_modalities("text", ["pose/data", "audio/log_mel_512"])
 
 
-def test_render_streaming_matches_oneshot(tmp_path):
+def test_render_streaming_matches_oneshot(tmp_path, raster_lib):
     """Chunked streaming render (bounded memory) is byte-identical to the
     one-shot path, captions included."""
     import pandas as pd
 
     from mixstage_tpu.animation import raster
 
-    if raster.get_lib() is None:
-        pytest.skip("native raster lib unavailable (no toolchain)")
     y = np.cumsum(np.random.default_rng(2).normal(size=(50, 2, 52)), 0) * 10
     text = pd.DataFrame({"Word": [f"w{i}" for i in range(10)],
                          "start_frame": np.arange(10) * 5,
