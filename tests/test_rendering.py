@@ -5,7 +5,7 @@ import pytest
 
 from mixstage_tpu.data.audio import (log_mel_400, log_mel_512,
                                      log_mel_spectrogram_jax, mel_filterbank,
-                                     silence_vad)
+                                     silence_vad, stft_mag)
 from mixstage_tpu.data.skeleton import PARENTS
 from mixstage_tpu.htmlgrid.to_html import make_html_file
 
@@ -16,6 +16,118 @@ def raster_lib(require_native):
     from mixstage_tpu.animation import raster
 
     return require_native(raster.get_lib, raster._LIB_PATH, "raster")
+
+
+def test_stft_matches_scipy_golden():
+    """Golden pin of the from-scratch STFT against scipy.signal.stft
+    (VERDICT r3 weak #4).  Same conventions as the reference's librosa
+    calls (audio.py:117-137): periodic hann, hop framing, rfft magnitude.
+    scipy scales by 1/window.sum(); multiply back to compare raw |STFT|."""
+    from scipy import signal
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(16000)
+    win = signal.get_window("hann", 512, fftbins=True)
+
+    # center=False, win_length == n_fft: direct framing
+    ours = stft_mag(y, n_fft=512, hop_length=160, center=False, power=1.0)
+    _, _, Z = signal.stft(y, window=win, nperseg=512, noverlap=512 - 160,
+                          nfft=512, boundary=None, padded=False,
+                          detrend=False)
+    ref = np.abs(Z).T * win.sum()
+    assert ours.shape == ref.shape == (97, 257)
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-10)
+
+    # center=True (log_mel_512's convention): librosa reflect-pads by
+    # n_fft//2 — pin our centered output against scipy on an explicitly
+    # reflect-padded signal
+    win2k = signal.get_window("hann", 2048, fftbins=True)
+    ours_c = stft_mag(y, n_fft=2048, hop_length=512, center=True, power=2.0)
+    ypad = np.pad(y, 2048 // 2, mode="reflect")
+    _, _, Z2 = signal.stft(ypad, window=win2k, nperseg=2048,
+                           noverlap=2048 - 512, nfft=2048, boundary=None,
+                           padded=False, detrend=False)
+    ref_c = (np.abs(Z2).T * win2k.sum()) ** 2
+    n = min(len(ours_c), len(ref_c))
+    assert n >= 28
+    np.testing.assert_allclose(ours_c[:n], ref_c[:n], rtol=1e-9,
+                               atol=1e-9 * ref_c.max())
+
+
+def test_stft_window_padding_convention_golden():
+    """win_length=400 inside n_fft=512 (the log_mel_400 convention,
+    reference audio.py:128-135): librosa centers the 400-tap hann in the
+    512-sample frame.  Oracle: direct per-frame windowed rfft."""
+    from scipy import signal
+
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(4000)
+    ours = stft_mag(y, n_fft=512, hop_length=160, win_length=400,
+                    center=False, power=1.0)
+    w400 = signal.get_window("hann", 400, fftbins=True)
+    pad = (512 - 400) // 2
+    wfull = np.pad(w400, (pad, 512 - 400 - pad))
+    frames = 1 + (len(y) - 512) // 160
+    ref = np.stack([np.abs(np.fft.rfft(y[k * 160:k * 160 + 512] * wfull))
+                    for k in range(frames)])
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_slaney_filterbank_golden_constants():
+    """Slaney-scale mel filterbank hard goldens for the exact reference
+    parameterization (sr=16000, n_fft=512, 64 mels, fmin=125, fmax=7500,
+    norm=None — audio.py:129-135, librosa defaults htk=False, slaney mel).
+
+    Derivation: mel(f) = f/(200/3) below 1000 Hz, else
+    15 + ln(f/1000)/(ln(6.4)/27); 66 points linspace(mel(125), mel(7500));
+    weight[m, k] = max(0, min((f_k - f_m)/(f_{m+1} - f_m),
+                              (f_{m+2} - f_k)/(f_{m+2} - f_{m+1}))).
+    The constants below were computed from that formula (independently
+    re-derived in this test body) — a silent convention change in
+    mel_filterbank (htk vs slaney, edge handling, normalization) breaks
+    them, which would otherwise silently distort every imported reference
+    checkpoint's inputs."""
+    fb = mel_filterbank(16000, 512, 64, 125.0, 7500.0, norm=None)
+
+    # independent re-derivation of the slaney formula
+    def mel(f):
+        f = np.asarray(f, np.float64)
+        lin = f / (200.0 / 3.0)
+        log = 15.0 + np.log(f / 1000.0) / (np.log(6.4) / 27.0)
+        return np.where(f < 1000.0, lin, log)
+
+    def hz(m):
+        m = np.asarray(m, np.float64)
+        lin = m * (200.0 / 3.0)
+        log = 1000.0 * np.exp((m - 15.0) * (np.log(6.4) / 27.0))
+        return np.where(m < 15.0, lin, log)
+
+    pts = hz(np.linspace(mel(125.0), mel(7500.0), 66))
+    freqs = np.linspace(0, 8000.0, 257)
+    ref = np.zeros((64, 257))
+    for m in range(64):
+        lower = (freqs - pts[m]) / (pts[m + 1] - pts[m])
+        upper = (pts[m + 2] - freqs) / (pts[m + 2] - pts[m + 1])
+        ref[m] = np.maximum(0.0, np.minimum(lower, upper))
+    np.testing.assert_allclose(fb, ref, rtol=1e-9, atol=1e-12)
+
+    # hard constants (peak bin, row sum, peak weight) for 5 probe rows
+    golden = {
+        0: (5, 1.2819380286814797, 0.718061971318521),
+        16: (28, 1.3303887457184644, 0.7665126883555047),
+        32: (57, 2.622987778355848, 0.9682795054882184),
+        48: (117, 5.277822640508725, 0.9916227929986248),
+        63: (229, 10.289870192025, 0.953660857275706),
+    }
+    for m, (peak_bin, row_sum, peak_val) in golden.items():
+        assert fb[m].argmax() == peak_bin, f"mel {m} peak moved"
+        np.testing.assert_allclose(fb[m].sum(), row_sum, rtol=1e-9)
+        np.testing.assert_allclose(fb[m].max(), peak_val, rtol=1e-9)
+    # exact ramp weights of the first filter
+    np.testing.assert_allclose(
+        fb[0, 5:7], [0.718061971318521, 0.5638760573629585], rtol=1e-9)
+    assert np.abs(fb[0, :5]).max() == 0.0 and fb[0, 7] == 0.0
 
 
 def test_mel_filterbank_properties():
