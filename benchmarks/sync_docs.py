@@ -76,6 +76,13 @@ def render_table(bench_path: Path) -> str:
         drift = ex.get("serving_bs32_bf16_drift_vs_f32")
         note = f" ({drift:.2%} drift vs f32)" if drift is not None else ""
         rows.append(("serving bs32, bf16 compute", fmt_fps(sb) + note, "—"))
+    s8 = ex.get("serving_bs32_int8_frames_per_sec_per_chip")
+    if s8:
+        drift8 = ex.get("serving_bs32_int8_drift_vs_f32")
+        note = (f" ({drift8:.2%} drift vs f32, opt-in tier)"
+                if drift8 is not None else "")
+        rows.append(("serving bs32, int8 mixture decoder",
+                     fmt_fps(s8) + note, "—"))
     pd, pe = (ex.get("p50_latency_ms_64frame_clip_device"),
               ex.get("p50_latency_ms_64frame_clip_e2e"))
     if pd is not None:
@@ -89,6 +96,21 @@ def render_table(bench_path: Path) -> str:
         rows.append(("sampling + style transfer + full metric cascade",
                      f"{ips} intervals/s (p50 {p50} ms/interval, host "
                      f"metric math {ovl:.0%} of wall, overlapped)", "—"))
+    rps = ex.get("endpoint_requests_per_sec")
+    if rps:
+        ep50 = ex.get("endpoint_latency_ms_p50")
+        ep99 = ex.get("endpoint_latency_ms_p99")
+        occ = ex.get("endpoint_mean_batch_occupancy")
+        rows.append(("HTTP serving endpoint (dynamic batcher, 8 clients)",
+                     f"{rps} req/s (p50 {ep50} ms, p99 {ep99} ms, mean "
+                     f"batch occupancy {occ})", "—"))
+    stf = ex.get("streaming_frames_per_sec_1session")
+    if stf:
+        rtx = ex.get("streaming_realtime_factor_at_15fps")
+        wp50 = ex.get("streaming_p50_window_ms")
+        rows.append(("streaming inference, 1 session (crossfade windows)",
+                     f"{stf:,.0f} frames/s ({rtx}× real-time at 15 fps, "
+                     f"p50 window {wp50} ms)", "—"))
 
     lines = [
         "<!-- BENCH:BEGIN -->",
