@@ -44,54 +44,82 @@ def _q(w, scale):
     return jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("negative_slope",))
+@functools.partial(jax.jit, static_argnames=("negative_slope", "per_channel"))
 def _quantize_all(w0, wc, biases, wl, bl, x_calib, s_in,
-                  negative_slope: float = 0.2):
+                  negative_slope: float = 0.2, per_channel: bool = True):
     """The whole quantization — weight scales, calibration forward pass,
     combined multipliers — as ONE jitted graph.  The remote-compile tunnel
     makes eager op-at-a-time quantization pathological (each host-synced
     einsum is a 20-60 s compile); here the calibration chain (G groups x
-    L+1 layers, unrolled — G and L are small statics) compiles once."""
+    L+1 layers, unrolled — G and L are small statics) compiles once.
+
+    ``per_channel=True`` (the default, VERDICT r3 item 6): activation
+    scales are per-(group, layer, CHANNEL) instead of per-(group, layer).
+    The per-channel input scale of layer l+1 folds into that layer's f32
+    weights BEFORE weight quantization (y = Σ_c (q_c·a_c)·w_cd =
+    Σ_c q_c·(a_c·w_cd)), so the int8 kernel keeps its single combined
+    dequant multiplier per output channel — only the requant reciprocal
+    ``rq`` gains a channel axis.  Channels with small dynamic range no
+    longer inherit the hottest channel's coarse quantization step, which
+    is what produced the 20% drift tail on outlier poses."""
     G = w0.shape[0]
     L = wc.shape[0]
+    C = w0.shape[-1]
 
-    sw0 = _colmax(w0, (1, 2))                      # (G, C)
-    swc = _colmax(wc, (2, 3))                      # (L, G, C)
-    swl = _colmax(wl, (1,))                        # (G, F)
-    w0_i8 = _q(w0, sw0[:, None, None, :])
-    wc_i8 = _q(wc, swc[:, :, None, None, :])
-    wl_i8 = _q(wl, swl[:, None, :])
+    # per-channel INPUT scale folds into w0 the same way (s_in is then a
+    # (C0p,) vector and m0 carries no input factor).  The calibration pass
+    # below must keep the ORIGINAL weights — it reproduces the f32 chain's
+    # real activations, not the quantized-domain ones.
+    s_in_arr = jnp.asarray(s_in, jnp.float32)
+    w0_fold = (w0 * s_in_arr[None, None, :, None] if s_in_arr.ndim == 1
+               else w0)
+    sw0 = _colmax(w0_fold, (1, 2))                 # (G, C)
+    w0_i8 = _q(w0_fold, sw0[:, None, None, :])
 
-    # one-shot f32 calibration pass: per-(group, layer) activation maxima,
-    # vmapped over groups (the f32 folded-decoder chain, same op order as
-    # folded_decoder_xla)
+    # one-shot f32 calibration pass: per-(group, layer[, channel])
+    # activation maxima, vmapped over groups (the f32 folded-decoder chain,
+    # same op order as folded_decoder_xla)
     xs = _shift3(x_calib)
+    red_axes = (0, 1) if per_channel else (0, 1, 2)
 
     def calib_group(w0g, wcg, bg):
         h = jnp.einsum("btkc,kcd->btd", xs, w0g) + bg[0]
         h = jnp.where(h >= 0, h, negative_slope * h)
-        maxes = [jnp.max(jnp.abs(h))]
+        maxes = [jnp.max(jnp.abs(h), axis=red_axes)]
         for l in range(L):
             h = jnp.einsum("btkc,kcd->btd", _shift3(h), wcg[l]) + bg[l + 1]
             h = jnp.where(h >= 0, h, negative_slope * h)
-            maxes.append(jnp.max(jnp.abs(h)))
+            maxes.append(jnp.max(jnp.abs(h), axis=red_axes))
         return jnp.stack(maxes)
 
-    act = jax.vmap(calib_group, in_axes=(0, 1, 0))(w0, wc, biases)  # (G,L+1)
+    # (G, L+1, C) per-channel, (G, L+1) per-tensor
+    act = jax.vmap(calib_group, in_axes=(0, 1, 0))(w0, wc, biases)
     a = jnp.maximum(act, 1e-8).astype(jnp.float32) / 127.0
+    if not per_channel:
+        a = jnp.broadcast_to(a[..., None], (G, L + 1, C))
 
-    m0 = s_in * sw0                                 # (G, C)
-    mc = a.T[:L, :, None] * swc                     # (L, G, C): in-scale of
-    # chain layer l is the output scale of layer l-1 => a[:, l]
-    ml = a[:, L][:, None] * swl                     # (G, F)
-    rq = 1.0 / a                                    # (G, L+1)
+    # fold each layer's per-channel INPUT activation scale into its weights
+    # (chain layer l consumes the output of layer l-1 => a[:, l]); then
+    # quantize the folded weights per output column as before
+    wc_f = wc * jnp.transpose(a[:, :L], (1, 0, 2))[:, :, None, :, None]
+    wl_f = wl * a[:, L][:, :, None]
+    swc = _colmax(wc_f, (2, 3))                    # (L, G, C)
+    swl = _colmax(wl_f, (1,))                      # (G, F)
+    wc_i8 = _q(wc_f, swc[:, :, None, None, :])
+    wl_i8 = _q(wl_f, swl[:, None, :])
+
+    m0 = sw0 if s_in_arr.ndim == 1 else s_in * sw0  # (G, C)
+    mc = swc                                        # (L, G, C): act scale is
+    ml = swl                                        # already in the weights
+    rq = 1.0 / a                                    # (G, L+1, C)
     return {"w0_i8": w0_i8, "wc_i8": wc_i8, "wl_i8": wl_i8,
             "m0": m0, "mc": mc, "ml": ml, "rq": rq,
             "biases": biases.astype(jnp.float32),
             "b_logits": bl.astype(jnp.float32)}
 
 
-def quantize_folded_decoder(fd, x_calib, negative_slope: float = 0.2):
+def quantize_folded_decoder(fd, x_calib, negative_slope: float = 0.2,
+                            per_channel: bool = True):
     """Quantize an ``extract_folded_decoder`` dict against calibration
     features.
 
@@ -106,19 +134,31 @@ def quantize_folded_decoder(fd, x_calib, negative_slope: float = 0.2):
     Returns a qfd dict consumed by ``fused_mixstage_decoder_int8`` /
     ``decoder_int8_xla``: int8 weights + f32 combined dequant multipliers
     ``m0 (G, C)``, ``mc (L, G, C)``, ``ml (G, F)``, requant reciprocals
-    ``rq (G, L+1)`` (1/activation-scale per layer output), input scale
-    ``s_in`` (python float, static), and the f32 biases.
+    ``rq (G, L+1, C)`` (1/activation-scale per layer output channel;
+    ``per_channel=False`` falls back to the per-(group, layer) scheme,
+    broadcast over C), input scale ``s_in`` (python float, static), and
+    the f32 biases.
 
     Exactly two device round-trips: the input-scale fetch (``s_in`` must be
     a static jit arg of the int8 kernel) and the fused quantize+calibrate
     graph — the tunnel's per-compile cost makes anything op-at-a-time here
     pathological.
     """
-    s_in = float(np.asarray(jnp.max(jnp.abs(x_calib)))) / 127.0
-    s_in = max(s_in, 1e-8)
+    if per_channel:
+        # per-channel input scales (folded into w0 inside _quantize_all);
+        # exported as a hashable tuple so the int8 kernel jit can keep its
+        # static s_in argument (one calibration per server — one cache key)
+        s_vec = np.asarray(jnp.max(jnp.abs(x_calib), axis=(0, 1)))
+        s_vec = np.maximum(s_vec, 1e-8).astype(np.float32) / 127.0
+        s_in, s_arg = tuple(float(v) for v in s_vec), s_vec
+    else:
+        s_in = max(float(np.asarray(jnp.max(jnp.abs(x_calib)))) / 127.0,
+                   1e-8)
+        s_arg = s_in
     qfd = _quantize_all(fd["w0"], fd["wc"], fd["biases"], fd["w_logits"],
-                        fd["b_logits"], x_calib, s_in,
-                        negative_slope=negative_slope)
+                        fd["b_logits"], x_calib, s_arg,
+                        negative_slope=negative_slope,
+                        per_channel=per_channel)
     qfd = dict(qfd)
     qfd["s_in"] = s_in
     return qfd
@@ -133,8 +173,11 @@ def _shift3(x):
                       jnp.concatenate([x[:, 1:], z], 1)], axis=2)
 
 
-def quantize_input(x, s_in: float):
-    return jnp.clip(jnp.round(x / s_in), -127, 127).astype(jnp.int8)
+def quantize_input(x, s_in):
+    """``s_in``: scalar, or a per-channel (C0p,) tuple/array (broadcasts
+    over the trailing feature axis)."""
+    s = jnp.asarray(np.asarray(s_in, np.float32))
+    return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
 
 
 def decoder_int8_xla(x, qfd, groups: int, negative_slope: float = 0.2):
@@ -148,7 +191,7 @@ def decoder_int8_xla(x, qfd, groups: int, negative_slope: float = 0.2):
     xq = quantize_input(x, qfd["s_in"])
     B, T, C0 = xq.shape
 
-    def qconv3(q, w_i8, mult, bias, rq_scalar):
+    def qconv3(q, w_i8, mult, bias, rq_vec):
         z = jnp.zeros((B, 1, q.shape[-1]), jnp.int8)
         xm = jnp.concatenate([z, q[:, :-1]], 1)
         xp = jnp.concatenate([q[:, 1:], z], 1)
@@ -160,7 +203,8 @@ def decoder_int8_xla(x, qfd, groups: int, negative_slope: float = 0.2):
                             preferred_element_type=jnp.int32))
         y = acc.astype(jnp.float32) * mult[None, None, :] + bias
         y = jnp.where(y >= 0, y, negative_slope * y)
-        return jnp.clip(jnp.round(y * rq_scalar), -127, 127).astype(jnp.int8)
+        return jnp.clip(jnp.round(y * rq_vec[None, None, :]),
+                        -127, 127).astype(jnp.int8)
 
     outs = []
     for g in range(G):
@@ -184,7 +228,7 @@ def _decoder_kernel_int8(x_ref, w0_ref, wc_ref, m0_ref, mc_ref, rq_ref,
     x_ref:  (Bt, T, C0) int8 quantized features (shared across groups)
     w0_ref: (1, 3, C0, C) int8; wc_ref: (L, 1, 3, C, C) int8
     m0_ref: (1, 1, C); mc_ref: (L, 1, 1, C) f32 combined dequant multipliers
-    rq_ref: (1, L + 1, 1) f32 requant reciprocals
+    rq_ref: (1, L + 1, C) f32 per-channel requant reciprocals
     b_ref:  (1, L + 1, C) f32 folded biases
     wl_ref: (1, C, F) int8; ml_ref: (1, 1, F) f32; bl_ref: (1, 1, F) f32
     o_ref:  (1, Bt, T, F) f32 pose logits for this group
@@ -201,14 +245,14 @@ def _decoder_kernel_int8(x_ref, w0_ref, wc_ref, m0_ref, mc_ref, rq_ref,
                             preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * mult[None, :] + bias[None, :]
         y = jnp.where(y >= 0, y, negative_slope * y)
-        q8 = jnp.clip(jnp.round(y * rq), -127, 127).astype(jnp.int8)
+        q8 = jnp.clip(jnp.round(y * rq[None, :]), -127, 127).astype(jnp.int8)
         return q8.reshape(Bt, T, C)
 
     q = qconv3(x_ref[...], w0_ref[0], m0_ref[0, 0], b_ref[0, 0],
-               rq_ref[0, 0, 0], C0)
+               rq_ref[0, 0], C0)
     for l in range(L):
         q = qconv3(q, wc_ref[l, 0], mc_ref[l, 0, 0], b_ref[0, l + 1],
-                   rq_ref[0, l + 1, 0], C)
+                   rq_ref[0, l + 1], C)
     logits = jnp.dot(q.reshape(Bt * T, C), wl_ref[0],
                      preferred_element_type=jnp.int32)
     out = (logits.astype(jnp.float32) * ml_ref[0, 0][None, :]
@@ -253,7 +297,7 @@ def fused_mixstage_decoder_int8(x, w0_i8, wc_i8, m0, mc, rq, biases, wl_i8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 1, 1, C), lambda g, i: (0, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L + 1, 1), lambda g, i: (g, 0, 0),
+            pl.BlockSpec((1, L + 1, C), lambda g, i: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L + 1, C), lambda g, i: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -268,6 +312,6 @@ def fused_mixstage_decoder_int8(x, w0_i8, wc_i8, m0, mc, rq, biases, wl_i8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, B, T, F), jnp.float32),
         interpret=interpret,
-    )(xq, w0_i8, wc_i8, m0[:, None, :], mc[:, :, None, :], rq[:, :, None],
+    )(xq, w0_i8, wc_i8, m0[:, None, :], mc[:, :, None, :], rq,
       biases, wl_i8, ml[:, None, :], b_logits[:, None, :])
     return jnp.transpose(out, (1, 2, 0, 3)).reshape(B, T, G * F)
