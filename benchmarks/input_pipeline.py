@@ -72,7 +72,7 @@ def main():
             except StopIteration:
                 break
             t1 = time.perf_counter()
-            sb, _ = tr.get_processed_batch(b)
+            sb = tr.get_processed_batch(b)[0]
             t2 = time.perf_counter()
             t_load += t1 - t0
             t_proc += t2 - t1

@@ -354,14 +354,21 @@ class RemoveJoints:
         self.parents = list(parents) if parents is not None else None
         self.insert: Optional[np.ndarray] = None
 
-    def __call__(self, batch, inv: bool = False, **kwargs):
+    def __call__(self, batch, inv: bool = False, insert=None, **kwargs):
+        """``insert``: explicit removed-slices array for the inverse.  Pass
+        the insert captured alongside the SAME batch's forward pass whenever
+        forward calls can run ahead of inverses (prefetch workers, the scan
+        driver's k-chunk, the sampling metric worker thread) — the shared
+        ``self.insert`` state is only safe for strictly serial
+        forward-then-inverse use."""
         batch = np.asarray(batch)
         B, T = batch.shape[0], batch.shape[1]
         if inv:
-            assert self.insert is not None, \
+            if insert is None:
+                insert = self.insert
+            assert insert is not None, \
                 "Call RemoveJoints first before calling the inverse version"
             x = batch.reshape(B, T, 2, -1)
-            insert = self.insert
             if insert.shape[:2] != (B, T):
                 # sampling reshapes (B, T) → (1, B*T); follow the data
                 insert = insert.reshape(B, T, *insert.shape[2:])

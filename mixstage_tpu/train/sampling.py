@@ -110,8 +110,8 @@ def sample_loop(trainer, desc: str):
     collate_fn = trainer.data.dataLoader_kwargs.get("collate_fn")
     worker = _MetricWorker()
 
-    def host_side(losses, y_cap, aux, pad_to, T, B, y_, kwargs_name,
-                  style_id, style_target, fname, flush):
+    def host_side(losses, y_cap, aux, pad_to, T, B, y_, insert,
+                  kwargs_name, style_id, style_target, fname, flush):
         """Everything downstream of the TPU eval step: fetch, label
         histogram, loss accumulation, metric cascade, dump batching.  Runs
         on the metric worker thread, in dispatch order."""
@@ -123,7 +123,7 @@ def sample_loop(trainer, desc: str):
         metric_kwargs = ({"style": np.asarray(style_target)}
                          if trainer.step_cfg.has_style else {})
         y_cap_out = trainer.calculate_metrics(y_cap, y_, kwargs_name,
-                                              **metric_kwargs)
+                                              insert=insert, **metric_kwargs)
         filenames.append(fname)
         keys.append(trainer.output_modality)
         y_outs.append(y_cap_out)  # (B*T, 2, joints) raw, root-zeroed
@@ -145,7 +145,7 @@ def sample_loop(trainer, desc: str):
         loader = DataLoader(minidata, batch_size=len(minidata), shuffle=False,
                             collate_fn=collate_fn)
         batch = next(iter(loader))
-        step_batch, y_ = trainer.get_processed_batch(batch)
+        step_batch, y_, insert = trainer.get_processed_batch(batch)
         step_batch = {k: (tuple(np.asarray(v) for v in val)
                           if k == "x" else np.asarray(val))
                       for k, val in step_batch.items()}
@@ -182,7 +182,8 @@ def sample_loop(trainer, desc: str):
                      / speaker / f"{interval_id}.h5").as_posix()
             flush = (count + 1) % 100 == 0 or count == len_data - 1
             worker.submit(host_side, losses, y_cap, aux, pad_to, T, B, y_,
-                          kwargs_name, style_id, style_target, fname, flush)
+                          insert, kwargs_name, style_id, style_target, fname,
+                          flush)
         interval_times.append(time.perf_counter() - t_interval)
 
     worker.join()

@@ -224,7 +224,18 @@ class Trainer:
 
     def get_processed_batch(self, batch):
         """Numpy batch → jitted-step batch (trainer.py:851-863 + cluster/style
-        variants :1221-1239, :1360-1365).  Returns (step_batch, y_unnormed)."""
+        variants :1221-1239, :1360-1365).
+
+        Returns ``(step_batch, y_unnormed, insert)`` — ``insert`` is THIS
+        batch's removed joint slices, to be handed back to
+        ``calculate_metrics``.  It must travel with the batch rather than
+        through shared ``RemoveJoints`` state: prefetch workers, the scan
+        driver's k-chunk, and the sampling metric worker all run forward
+        passes ahead of the matching inverse, so shared state would pair a
+        later batch's slices with an earlier batch's metrics (silent metric
+        corruption at uniform batch sizes; a reshape crash on ragged ones —
+        found by the round-4 TPU lifecycle burn-in in the quantile-finetune
+        phase)."""
         labels = None
         if self.args.pos and "text/pos" in batch:
             # POS tag classes as cluster labels (reference -pos flag,
@@ -239,7 +250,9 @@ class Trainer:
         x = [np.asarray(pre_batch[mod], np.float64)
              for mod in self.input_modalities]
         y_ = np.asarray(pre_batch[self.output_modality])
-        y = self.transform(y_)
+        rm = RemoveJoints(self.mask, self.parents)  # per-call: no shared state
+        y = rm(y_)
+        insert = rm.insert
 
         step_batch = {"x": tuple(np.asarray(x_, self.fp) for x_ in x),
                       "y": np.asarray(y, self.fp)}
@@ -252,7 +265,7 @@ class Trainer:
         if self.step_cfg.has_style or self.step_cfg.is_classifier:
             step_batch["style"] = np.asarray(batch["style"], np.int32)
         step_batch = shard_batch(step_batch, self.mesh)
-        return step_batch, y_
+        return step_batch, y_, insert
 
     # ----------------------------------------------------------------- coins
     def _curriculum_coin(self) -> bool:
@@ -428,7 +441,7 @@ class Trainer:
             return self._train_loop_scan(prepared, desc, epoch, timer,
                                          profile_ctx, running, running_count,
                                          t0)
-        for count, (batch, (step_batch, y_)) in enumerate(prepared):
+        for count, (batch, (step_batch, y_, insert)) in enumerate(prepared):
             if desc == "train":
                 self._check_preempt(epoch, f"train step {count}")
             timer.start()
@@ -469,7 +482,8 @@ class Trainer:
                 kwargs = {}
                 if "style" in step_batch:
                     kwargs["style"] = np.asarray(step_batch["style"])
-                self.calculate_metrics(y_cap, y_, "same", **kwargs)
+                self.calculate_metrics(y_cap, y_, "same", insert=insert,
+                                       **kwargs)
 
             timer.stop()
             if self.args.debug and count >= self.args.debug:
@@ -611,8 +625,15 @@ class Trainer:
                 metrics.update(avgs)
         return metrics, metrics_split
 
-    def calculate_metrics(self, y_cap, y_, kwargs_name, **kwargs):
-        """Metric cascade in znormed + raw spaces (trainer.py:865-915)."""
+    def calculate_metrics(self, y_cap, y_, kwargs_name, insert=None,
+                          **kwargs):
+        """Metric cascade in znormed + raw spaces (trainer.py:865-915).
+
+        ``insert``: the SAME batch's removed joint slices from
+        ``get_processed_batch`` — required whenever forward passes can run
+        ahead of this call (prefetch, scan chunks, the sampling metric
+        worker); falling back to the shared transform state is only safe
+        for strictly serial use."""
         if kwargs_name is None:
             kwargs_name = "same"
         if kwargs.get("style") is not None:
@@ -629,7 +650,8 @@ class Trainer:
             except Exception:
                 pass
 
-        y_cap_full = self.transform(y_cap, inv=True, batch_gt=y_)
+        y_cap_full = self.transform(y_cap, inv=True, batch_gt=y_,
+                                    insert=insert)
         self.l1(y_cap_full, y_, self.mask, idx=idx, kwargs_name=kwargs_name)
         self.vel_l1(y_cap_full, y_, self.mask, idx=idx, kwargs_name=kwargs_name)
         self.fid(y_cap_full, y_, self.mask, idx=idx, kwargs_name=kwargs_name)
@@ -839,8 +861,8 @@ class Trainer:
             if len(pend) < k or any(
                     p[1]["y"].shape != pend[0][1]["y"].shape for p in pend):
                 # ragged tail or shape change: per-step path
-                for batch, sb, y_ in pend:
-                    self._one_train_step(batch, sb, y_, running, epoch)
+                for batch, sb, y_, ins in pend:
+                    self._one_train_step(batch, sb, y_, ins, running, epoch)
                     running_count += sb["y"].shape[0]
                     count += 1
                 pend.clear()
@@ -858,7 +880,7 @@ class Trainer:
             B = batches[0]["y"].shape[0]
             totals = np.asarray(losses["total"])
             self._nan_guard(totals, f"train scan chunk (k={k})")
-            for i, (batch, sb, y_) in enumerate(pend):
+            for i, (batch, sb, y_, ins) in enumerate(pend):
                 for key in losses:
                     v = np.asarray(losses[key][i])
                     if v.ndim == 0:
@@ -871,26 +893,27 @@ class Trainer:
                     if "style" in sb:
                         kwargs["style"] = np.asarray(sb["style"])
                     self.calculate_metrics(np.asarray(poses[i], np.float64),
-                                           y_, "same", **kwargs)
+                                           y_, "same", insert=ins, **kwargs)
                 count += 1
             pend.clear()
 
         in_curriculum = (self.step_cfg.has_style and
                          int(self.state.curriculum_step)
                          < self.step_cfg.curriculum_iters)
-        for batch, (step_batch, y_) in prepared:
+        for batch, (step_batch, y_, insert) in prepared:
             self._check_preempt(epoch, f"train scan batch {count}")
             if "idx" in batch:
                 for i in np.asarray(batch["idx"]).tolist():
                     self.weight_counter[i] = self.weight_counter.get(i, 0) + 1
             if in_curriculum:
-                self._one_train_step(batch, step_batch, y_, running, epoch)
+                self._one_train_step(batch, step_batch, y_, insert,
+                                     running, epoch)
                 running_count += step_batch["y"].shape[0]
                 count += 1
                 in_curriculum = (int(self.state.curriculum_step)
                                  < self.step_cfg.curriculum_iters)
             else:
-                pend.append((batch, step_batch, y_))
+                pend.append((batch, step_batch, y_, insert))
                 if len(pend) == k:
                     flush()
             if self.args.debug and count >= self.args.debug:
@@ -929,7 +952,8 @@ class Trainer:
         else:
             raise FloatingPointError(msg)
 
-    def _one_train_step(self, batch, step_batch, y_, running, epoch):
+    def _one_train_step(self, batch, step_batch, y_, insert, running,
+                        epoch):
         """Single per-step dispatch (shared by the scan loop's fallbacks)."""
         B = step_batch["y"].shape[0]
         rng = jax.random.key(self._coin.integers(1 << 31))
@@ -951,4 +975,4 @@ class Trainer:
             if "style" in step_batch:
                 kwargs["style"] = np.asarray(step_batch["style"])
             self.calculate_metrics(np.asarray(y_cap, np.float64), y_, "same",
-                                   **kwargs)
+                                   insert=insert, **kwargs)

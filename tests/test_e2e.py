@@ -104,6 +104,73 @@ def test_mixstage_gan_train_sample_style_transfer(synth, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_prefetch_ahead_insert_pairing(synth, tmp_path_factory):
+    """Round-4 TPU burn-in regression: forward passes run AHEAD of the
+    metric inverse (prefetch workers, the scan driver's k-chunk, the
+    sampling metric worker), so the removed-joint slices must travel WITH
+    the batch.  The old shared RemoveJoints state paired a later batch's
+    slices with an earlier batch's metrics — silently wrong at uniform
+    batch sizes, a reshape crash on ragged quantile-finetune batches."""
+    save_dir = str(tmp_path_factory.mktemp("save_ins"))
+    cfg = base_cfg(synth, save_dir, model="Speech2Gesture_G", gan=0,
+                   loss="L1Loss", speaker=["oliver"], exp=21)
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    b4 = next(tr.data_train.iter_all(batch_size=4))
+    b2 = next(tr.data_train.iter_all(batch_size=2))
+    sb4, y4, ins4 = tr.get_processed_batch(b4)
+    sb2, y2, ins2 = tr.get_processed_batch(b2)  # "prefetch" runs ahead
+    assert ins4.shape[0] == 4 and ins2.shape[0] == 2
+
+    # the explicit insert reconstructs THIS batch exactly (no batch_gt:
+    # pure reinsertion)
+    y_cap4 = tr.transform(y4)                   # shared state ← b4
+    _ = tr.transform(y2)                        # …overwritten by b2 (race)
+    full = tr.transform(y_cap4, inv=True, insert=ins4)
+    np.testing.assert_allclose(full, y4, rtol=1e-12)
+    # without the explicit insert, the stale shared state is WRONG: the
+    # shapes cannot even reshape (this is the burn-in's exact crash)
+    with pytest.raises(ValueError):
+        tr.transform(y_cap4, inv=True)
+
+    # and the full metric cascade accepts the paired insert
+    tr.metrics_reset()
+    tr.calculate_metrics(np.asarray(sb4["y"], np.float64), y4, "same",
+                         insert=ins4)
+
+
+@pytest.mark.slow
+def test_quantile_finetune_phase(synth, tmp_path_factory):
+    """The cli.train quantile-finetune phase (reference train.py:45-75):
+    rebuild the train loader from the velocity-quantile subset and keep
+    training — its ragged batches are what exposed the insert-pairing bug
+    on the TPU burn-in."""
+    save_dir = str(tmp_path_factory.mktemp("save_qft"))
+    cfg = base_cfg(synth, save_dir, model="Speech2Gesture_G", gan=0,
+                   loss="L1Loss", speaker=["oliver"], num_epochs=1, exp=22)
+    tr = Trainer(cfg, ["exp", "cpk", "speaker", "model", "note"], {})
+    tr.start_exp()
+    tr.train(exp_num=22)
+    # the finetune phase exactly as cli/train.py stages it (epochs capped
+    # for test budget; the CLI uses the reference's 20)
+    tr.state = tr.book._load_model(tr.state)
+    tr.data.quantile_sample = 0.5
+    tr.data.train_sampler = tr.data.get_train_sampler(
+        tr.data.dataset_train, tr.data.train_intervals_dict)
+    tr.data.update_dataloaders(tr.data.time, tr.data.window_hop)
+    tr.data_train = tr.data.train
+    tr.data_dev = tr.data.dev
+    tr.data_test = tr.data.test
+    tr.args.num_epochs = 1
+    tr.num_epochs = 1
+    tr.book.best_dev_score = np.inf * tr.book.dev_sign
+    tr.book.stop_count = 0
+    tr.train(exp_num=22)           # crashed before the insert-pairing fix
+    tr.finish_exp()
+    res = json.load(open(tr.book.name("res", "json", save_dir)))
+    assert np.isfinite(res["train"]).all()
+
+
+@pytest.mark.slow
 def test_all_speakers_and_is_metric_pipeline(synth, tmp_path_factory):
     """speaker='all' expands to the 25-speaker registry; a StyleClassifier
     trained by this framework feeds the style-IS metric (the reference's

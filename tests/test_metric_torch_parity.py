@@ -53,6 +53,33 @@ def refm():
     pycasper = _stub("pycasper")
     bk = _stub("pycasper.BookKeeper", BookKeeper=object)
     pycasper.BookKeeper = bk
+    # test_torch_parity's loader early-returns when "pycasper" is already in
+    # sys.modules, so this stub must also provide the torchUtils surface the
+    # reference model files import (suite-order independence)
+    if not hasattr(pycasper, "torchUtils"):
+        import contextlib
+
+        @contextlib.contextmanager
+        def some_grad(module):
+            flags = [p.requires_grad for p in module.parameters()]
+            for p in module.parameters():
+                p.requires_grad = False
+            try:
+                yield
+            finally:
+                for p, f in zip(module.parameters(), flags):
+                    p.requires_grad = f
+
+        class LambdaScheduler:
+            def __init__(self, lambdas, **kw):
+                self.lambdas = list(lambdas)
+
+            def step(self):
+                return self.lambdas
+
+        tu = _stub("pycasper.torchUtils", some_grad=some_grad,
+                   LambdaScheduler=LambdaScheduler)
+        pycasper.torchUtils = tu
     # argsUtils is self-contained (argparse/itertools/ast) — import the real
     # file so `from argsUtils import *` resolves exactly as upstream
     if "argsUtils" not in sys.modules:
