@@ -126,7 +126,8 @@ def _rename(path: str, rules: List[Tuple[str, str]]) -> str:
     return path.replace("/", ".")
 
 
-def _to_flax(arr: np.ndarray, template_leaf: Any, torch_key: str) -> np.ndarray:
+def _to_flax(arr: np.ndarray, template_leaf: Any, torch_key: str,
+             flax_path: str = "") -> np.ndarray:
     """Torch layout → flax layout for one leaf, shape-checked."""
     tshape = tuple(np.shape(template_leaf))
     if torch_key.endswith(("weight",)) and arr.ndim == 3 \
@@ -135,9 +136,12 @@ def _to_flax(arr: np.ndarray, template_leaf: Any, torch_key: str) -> np.ndarray:
     elif torch_key.endswith("weight") and arr.ndim == 4:
         arr = arr.transpose(2, 3, 1, 0)
     elif torch_key.endswith("weight") and arr.ndim == 2 \
-            and not torch_key.endswith("emb.weight") \
-            and tshape == arr.shape[::-1] and tshape != arr.shape:
-        arr = arr.T  # linear layer
+            and flax_path.endswith("kernel"):
+        # linear layer: torch (Cout, Cin) → flax Dense (Cin, Cout).  Decide
+        # by the template leaf's ROLE (a flax 'kernel'), never by shape —
+        # a shape test silently skips the transpose on square Cin == Cout
+        # matrices (self-review r4)
+        arr = arr.T
     if arr.shape != tshape:
         raise ValueError(
             f"shape mismatch importing '{torch_key}': torch {arr.shape} "
@@ -158,7 +162,7 @@ def _fill_tree(template: Any, sd: Dict[str, np.ndarray], prefix: str,
         missing.append(f"{path} (expected torch key '{torch_key}')")
         return template
     used.add(torch_key)
-    return _to_flax(sd[torch_key], template, torch_key)
+    return _to_flax(sd[torch_key], template, torch_key, flax_path=path)
 
 
 def convert_reference_checkpoint(

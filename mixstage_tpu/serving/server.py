@@ -111,10 +111,22 @@ class DynamicBatcher:
                     f"graph's expected {self.input_shape} (None = any)")
         style = np.asarray(style)
         if style.ndim == 0:
+            if float(style) != int(style):
+                raise ValueError(
+                    f"scalar style must be an integer id, got {float(style)} "
+                    f"(send a weight VECTOR for soft mixtures)")
             style = int(style)
         elif style.ndim != 1:
             raise ValueError(f"style must be a scalar id or a 1-D mixture "
                              f"weight vector, got shape {style.shape}")
+        # backpressure covers BOTH buffers: the queue proper and the
+        # stragglers parked in _pending by shape-grouped drains — otherwise
+        # mixed-shape floods would grow _pending without ever shedding
+        if self._queue.qsize() + len(self._pending) >= self.max_queue:
+            with self._stats_lock:
+                self.shed += 1
+            raise Overloaded(
+                f"serving queue full ({self.max_queue} waiting); retry later")
         try:
             self._queue.put_nowait((audio, style, fut, time.perf_counter()))
         except queue.Full:
@@ -235,7 +247,8 @@ class PoseService:
                  waveform_batcher: Optional[DynamicBatcher] = None,
                  frames: int = 64, stream_idle_s: float = 300.0,
                  mel_bins: Optional[int] = None,
-                 static_frames: Optional[int] = None):
+                 static_frames: Optional[int] = None,
+                 max_streams: int = 64):
         self.batcher = batcher
         self.backend = backend
         self.timeout_s = timeout_s
@@ -251,6 +264,7 @@ class PoseService:
         # streaming sessions: id -> [StreamingSession, last_used, lock]
         self.frames = int(frames)
         self.stream_idle_s = stream_idle_s
+        self.max_streams = int(max_streams)  # abandoned-session memory bound
         self._streams: dict = {}
         self._streams_lock = threading.Lock()
 
@@ -265,6 +279,10 @@ class PoseService:
     def _style(self, style):
         arr = np.asarray(style)
         if arr.ndim == 0:
+            if float(arr) != int(arr):
+                raise ValueError(
+                    f"scalar style must be an integer id, got {float(arr)} "
+                    f"(send a weight VECTOR for soft mixtures)")
             sid = int(arr)
             if self.num_styles is None:
                 return sid
@@ -335,6 +353,9 @@ class PoseService:
 
     def _stream(self, sid: str):
         with self._streams_lock:
+            # sweep on every access, not only stream_open — abandoned
+            # sessions must expire even when no new streams are opened
+            self._sweep_streams()
             entry = self._streams.get(sid)
         if entry is None:
             raise LookupError(f"unknown or expired session {sid!r}")
@@ -359,6 +380,10 @@ class PoseService:
         sid = uuid.uuid4().hex[:16]
         with self._streams_lock:
             self._sweep_streams()
+            if len(self._streams) >= self.max_streams:
+                raise Overloaded(
+                    f"too many live streaming sessions "
+                    f"({self.max_streams}); close or finish some first")
             self._streams[sid] = [sess, time.time(), threading.Lock()]
         return {"session": sid, "window": sess.window, "hop": sess.hop}
 
@@ -392,6 +417,11 @@ class PoseService:
             dropped = self._streams.pop(sid, None) is not None
         return {"closed": dropped}
 
+    def stream_count(self) -> int:
+        with self._streams_lock:
+            self._sweep_streams()
+            return len(self._streams)
+
     def healthz(self) -> dict:
         return {"ok": True, "backend": self.backend,
                 "batch_size": self.batcher.batch_size}
@@ -417,7 +447,7 @@ def _make_handler(service: PoseService):
                 self._send_json(200, service.healthz())
             elif self.path == "/stats":
                 stats = service.batcher.stats()
-                stats["streams"] = len(service._streams)
+                stats["streams"] = service.stream_count()
                 self._send_json(200, stats)
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})

@@ -51,8 +51,15 @@ class StreamingSession:
         self.style = style
         self.window = int(window)
         self.hop = hop
-        self._in: list = []          # buffered mel frames, one (mel,) each
-        self._out: Optional[np.ndarray] = None   # stitched pose, grows
+        # buffers hold only the live suffix: consumed input (before the next
+        # window start) and emitted output are dropped eagerly, so memory is
+        # O(window + feed chunk) for arbitrarily long sessions instead of
+        # O(stream length); *_base counters map list/array indices back to
+        # absolute frame positions
+        self._in: list = []          # buffered mel frames from _in_base on
+        self._in_base = 0            # absolute index of _in[0]
+        self._out: Optional[np.ndarray] = None   # stitched pose suffix
+        self._out_base = 0           # absolute index of _out[0]
         self._next_start = 0         # absolute start of the next window
         self._emitted = 0            # frames already returned to the caller
         self._finished = False
@@ -67,13 +74,17 @@ class StreamingSession:
 
     # ------------------------------------------------------------- plumbing
     def _run_window(self, start: int):
-        chunk = np.asarray(self._in[start:start + self.window], np.float32)
+        rel = start - self._in_base
+        chunk = np.asarray(self._in[rel:rel + self.window], np.float32)
+        # NOTE: infer() runs before any state mutation, so a failed window
+        # (batcher overload, timeout) leaves the session retryable
         pose = np.asarray(self.infer(chunk, self.style), np.float32)
         if pose.shape[0] != self.window:
             raise ValueError(f"infer returned {pose.shape[0]} frames for a "
                              f"{self.window}-frame window")
         F = pose.shape[-1]
-        end = start + self.window
+        o = start - self._out_base
+        end = o + self.window
         if self._out is None:
             self._out = np.zeros((end, F), np.float32)
         elif end > self._out.shape[0]:
@@ -82,8 +93,8 @@ class StreamingSession:
                 [self._out, np.zeros((grow, F), np.float32)])
         # first window fades in over nothing — use full weight there
         w = self._fade_in if start else np.ones((self.window,), np.float32)
-        self._out[start:end] *= (1.0 - w)[:, None]
-        self._out[start:end] += w[:, None] * pose
+        self._out[o:end] *= (1.0 - w)[:, None]
+        self._out[o:end] += w[:, None] * pose
         self._next_start = start + self.hop
 
     def _drain(self) -> np.ndarray:
@@ -94,12 +105,17 @@ class StreamingSession:
         are never emitted)."""
         if self._out is None:
             return np.zeros((0, 0), np.float32)
+        covered = self._out_base + self._out.shape[0]
         final_upto = (self._true_len if self._finished
-                      else min(self._next_start, self._out.shape[0]))
+                      else min(self._next_start, covered))
         if final_upto <= self._emitted:
             return np.zeros((0, self._out.shape[-1]), np.float32)
-        out = self._out[self._emitted:final_upto].copy()
+        out = self._out[self._emitted - self._out_base:
+                        final_upto - self._out_base].copy()
         self._emitted = final_upto
+        # drop the emitted prefix (copy() so the big backing array frees)
+        self._out = self._out[final_upto - self._out_base:].copy()
+        self._out_base = final_upto
         return out
 
     # ------------------------------------------------------------------ API
@@ -112,8 +128,13 @@ class StreamingSession:
         if mel_frames.ndim == 1:
             mel_frames = mel_frames[None]
         self._in.extend(mel_frames)
-        while len(self._in) >= self._next_start + self.window:
+        while len(self._in) + self._in_base >= self._next_start + self.window:
             self._run_window(self._next_start)
+        # input before the next window start can never be read again
+        drop = self._next_start - self._in_base
+        if drop > 0:
+            del self._in[:drop]
+            self._in_base = self._next_start
         return self._drain()
 
     def finish(self) -> np.ndarray:
@@ -122,21 +143,32 @@ class StreamingSession:
         true input length)."""
         if self._finished:
             raise RuntimeError("session already finished")
-        n = self._true_len = len(self._in)
-        covered = 0 if self._out is None else self._out.shape[0]
+        n = self._in_base + len(self._in)
+        covered = 0 if self._out is None else \
+            self._out_base + self._out.shape[0]
         if covered < n:
             # feed() drained all complete windows, so exactly ONE padded
             # window (at _next_start < n <= _next_start + window) remains
             pad = self._next_start + self.window - n
+            keep = len(self._in)
             if pad > 0:
                 self._in.extend([self._in[-1]] * pad)
-            self._run_window(self._next_start)
+            try:
+                self._run_window(self._next_start)
+            finally:
+                # retry safety: a transient infer failure (overload/timeout)
+                # must not leave padding in the buffer, or a retried finish
+                # would emit padding frames as real output
+                del self._in[keep:]
+        self._true_len = n
         self._finished = True
         return self._drain()
 
     @property
     def frames_buffered(self) -> int:
-        return len(self._in) - self._emitted if not self._finished else 0
+        if self._finished:
+            return 0
+        return self._in_base + len(self._in) - self._emitted
 
 
 def session_over_serving_fn(serve_fn, style, hop: Optional[int] = None):
@@ -147,10 +179,17 @@ def session_over_serving_fn(serve_fn, style, hop: Optional[int] = None):
     loaders) or 64 (the training window) sets the window length.
     """
     window = int(getattr(serve_fn, "frames", 64))
+    # artifact loaders (export.load_serving) have a STATIC batch: tile the
+    # single window to the graph's batch and keep row 0 (a batch-1 submit
+    # would fail the loader's static-shape guard)
+    B = int(getattr(serve_fn, "static_batch", 1) or 1)
 
     def infer(window_mel, sty):
-        sty = np.asarray([sty]) if np.ndim(sty) == 0 else \
-            np.asarray(sty)[None]
-        return np.asarray(serve_fn(window_mel[None], sty))[0]
+        sty = np.asarray(sty)
+        batch_sty = (np.full((B,), sty) if sty.ndim == 0
+                     else np.repeat(sty[None], B, axis=0))
+        batch_mel = np.repeat(window_mel[None], B, axis=0) if B > 1 \
+            else window_mel[None]
+        return np.asarray(serve_fn(batch_mel, batch_sty))[0]
 
     return StreamingSession(infer, style, window=window, hop=hop)

@@ -446,6 +446,51 @@ def test_batcher_groups_mismatched_shapes_instead_of_crashing():
         b.close()
 
 
+def test_stream_session_cap_and_float_style_rejection():
+    """Self-review r4: a live-session cap bounds abandoned-stream memory
+    (429 beyond it), and a non-integer scalar style is a 400, not a silent
+    truncation to int."""
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=2, max_wait_ms=2.0)
+    service = PoseService(b, backend="test", frames=T_MEL, max_streams=3)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        def open_stream():
+            req = urllib.request.Request(
+                base + "/v1/stream", data=json.dumps({"style": 0}).encode(),
+                headers={"Content-Type": "application/json"})
+            return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+        sids = [open_stream()["session"] for _ in range(3)]
+        try:
+            open_stream()
+            raise AssertionError("expected 429 past the session cap")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+        # closing one frees a slot
+        req = urllib.request.Request(f"{base}/v1/stream/{sids[0]}",
+                                     method="DELETE")
+        urllib.request.urlopen(req, timeout=10)
+        assert open_stream()["session"]
+
+        # float style id → 400 (was silently truncated to int before)
+        req = urllib.request.Request(
+            base + "/v1/pose",
+            data=json.dumps({"audio": np.ones((T_MEL, MEL)).tolist(),
+                             "style": 1.9}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 400 for float style")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "integer id" in json.loads(e.read())["error"]
+    finally:
+        server.shutdown()
+        b.close()
+
+
 def test_http_streaming_sessions_end_to_end():
     """Open → feed → finish over HTTP matches a local StreamingSession on
     the same fake model; sessions ride the shared batcher and are dropped

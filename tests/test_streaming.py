@@ -117,6 +117,70 @@ def test_tail_flush_and_guards():
     np.testing.assert_allclose(out2, direct, rtol=1e-6)
 
 
+def test_buffers_stay_bounded_for_long_sessions():
+    """Self-review r4: a session must hold only the live window suffix —
+    hours-long real-time streams previously kept every mel + pose frame
+    (linear memory, quadratic stitch cost)."""
+    x = _mel(64 * 40, seed=11)
+    s = StreamingSession(fake_infer, 0, window=64, hop=32)
+    ref = _stream_all(StreamingSession(fake_infer, 0, 64, 32), x, len(x))
+    got = []
+    for i in range(0, len(x), 32):
+        got.append(s.feed(x[i:i + 32]))
+        # live buffers never exceed ~2 windows regardless of stream length
+        assert len(s._in) <= 2 * 64, len(s._in)
+        assert s._out is None or s._out.shape[0] <= 2 * 64, s._out.shape
+    got.append(s.finish())
+    np.testing.assert_array_equal(np.concatenate([g for g in got if g.size]),
+                                  ref)
+
+
+def test_finish_is_retry_safe_after_transient_failure():
+    """Self-review r4: a transient infer failure inside finish() (batcher
+    overload / timeout) must not leave padding frames in the buffer — a
+    retried finish() previously emitted them as real pose output."""
+    calls = {"n": 0, "fail": False}
+
+    def flaky(window, style):
+        calls["n"] += 1
+        if calls["fail"]:
+            calls["fail"] = False
+            raise RuntimeError("device overloaded")
+        return fake_infer(window, style)
+
+    x = _mel(40, seed=13)
+    s = StreamingSession(flaky, 0, window=64, hop=32)
+    s.feed(x)
+    calls["fail"] = True
+    with pytest.raises(RuntimeError, match="overloaded"):
+        s.finish()
+    out = s.finish()  # retry must succeed AND emit exactly the true frames
+    assert out.shape == (40, F)
+    xp = np.concatenate([x, np.repeat(x[-1:], 24, axis=0)])
+    np.testing.assert_allclose(out, fake_infer(xp, 0)[:40], rtol=1e-6)
+
+
+def test_session_over_static_batch_artifact_fn():
+    """Self-review r4: artifact loaders have a STATIC batch B>1; the session
+    wrapper must tile its single window to B instead of submitting batch 1
+    (which the loader's static-shape guard rejects)."""
+    Bstat = 4
+
+    def batched_fn(audio, style):
+        assert audio.shape[0] == Bstat, f"got batch {audio.shape[0]}"
+        assert style.shape[0] == Bstat
+        return np.stack([fake_infer(audio[i], style[i])
+                         for i in range(Bstat)])
+
+    batched_fn.frames = 64
+    batched_fn.static_batch = Bstat
+    x = _mel(96, seed=17)
+    sess = session_over_serving_fn(batched_fn, style=2, hop=32)
+    out = _stream_all(sess, x, chunk=40)
+    ref = _stream_all(StreamingSession(fake_infer, 2, 64, 32), x, chunk=40)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
 def test_streaming_over_real_serving_graph(tiny_exp):
     """End-to-end over the BN-folded serving fn: stream 160 frames, assert
     coverage, determinism, and that non-overlap frames equal the raw
