@@ -321,13 +321,38 @@ class PoseService:
                              f"{arr.shape[0]}")
         return arr
 
+    def _bucket(self, audio: np.ndarray, waveform: bool):
+        """Pad mel windows up to a power-of-two frame bucket (repeat-last-
+        frame, the streaming edge treatment) and return the true length.
+
+        The convolutional graph needs T divisible by the UNet's 2^5 and
+        every distinct T is a separate (expensive) remote compile — pow-2
+        bucketing makes arbitrary-length requests both valid and cheap
+        (≤ a handful of compiled shapes), and same-bucket requests batch
+        together.  Static-frame (AOT) servers validate instead of pad."""
+        if waveform or self.static_frames is not None:
+            return audio, None
+        T = audio.shape[0]
+        if T < 1:
+            raise ValueError("audio must have at least 1 frame")
+        bucket = max(int(self.frames), 1)
+        while bucket < T:
+            bucket *= 2
+        if bucket == T:
+            return audio, None
+        pad = np.repeat(audio[-1:], bucket - T, axis=0)
+        return np.concatenate([audio, pad]), T
+
     def infer_json(self, payload: dict, waveform: bool = False) -> dict:
         if "audio" not in payload:
             raise ValueError("payload must carry an 'audio' field")
         audio = self._audio(payload["audio"], waveform=waveform)
+        audio, true_len = self._bucket(audio, waveform)
         style = self._style(payload.get("style", 0))
         pose = self._pick(waveform).submit(audio, style).result(
             self.timeout_s)
+        if true_len is not None:
+            pose = pose[:true_len]
         return {"pose": pose.tolist()}
 
     def infer_npz(self, body: bytes, waveform: bool = False) -> bytes:
@@ -337,8 +362,11 @@ class PoseService:
             audio = self._audio(z["audio"], waveform=waveform)
             style = self._style(z["style"]) if "style" in z else \
                 self._style(0)
+        audio, true_len = self._bucket(audio, waveform)
         pose = self._pick(waveform).submit(audio, style).result(
             self.timeout_s)
+        if true_len is not None:
+            pose = pose[:true_len]
         buf = io.BytesIO()
         np.save(buf, pose)
         return buf.getvalue()

@@ -446,6 +446,46 @@ def test_batcher_groups_mismatched_shapes_instead_of_crashing():
         b.close()
 
 
+def test_arbitrary_length_requests_bucket_to_pow2():
+    """Checkpoint-mode servers pad mel windows to power-of-two frame
+    buckets (repeat-last-frame) and trim the pose back: arbitrary T is
+    valid (the UNet needs T % 32 == 0), compiles stay bounded, and
+    same-bucket requests share device batches."""
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=4, max_wait_ms=2.0)
+    service = PoseService(b, backend="test", mel_bins=MEL, frames=64)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post(n_frames, fill):
+        audio = np.full((n_frames, MEL), fill, np.float32)
+        req = urllib.request.Request(
+            base + "/v1/pose",
+            data=json.dumps({"audio": audio.tolist(), "style": 0}).encode(),
+            headers={"Content-Type": "application/json"})
+        return np.asarray(json.loads(
+            urllib.request.urlopen(req, timeout=15).read())["pose"])
+
+    try:
+        p50 = post(50, 1.0)     # → bucket 64, trimmed back to 50
+        p100 = post(100, 2.0)   # → bucket 128
+        p64 = post(64, 3.0)     # exact bucket: no padding
+        assert p50.shape[0] == 50 and p100.shape[0] == 100 \
+            and p64.shape[0] == 64
+        np.testing.assert_allclose(p50[:, 0], 1.0 * MEL)
+        np.testing.assert_allclose(p100[:, 0], 2.0 * MEL)
+        np.testing.assert_allclose(p64[:, 0], 3.0 * MEL)
+        # device calls saw only pow-2 bucket shapes
+        assert sorted({shape[1] for shape, _ in calls}) == [64, 128]
+        # AOT (static-frames) servers still validate instead of pad
+        svc2 = PoseService(b, mel_bins=MEL, static_frames=64)
+        with pytest.raises(ValueError, match="compiled for exactly"):
+            svc2.infer_json({"audio": np.ones((50, MEL)).tolist()})
+    finally:
+        server.shutdown()
+        b.close()
+
+
 def test_stream_session_cap_and_float_style_rejection():
     """Self-review r4: a live-session cap bounds abandoned-stream memory
     (429 beyond it), and a non-integer scalar style is a 400, not a silent
