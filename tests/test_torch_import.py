@@ -139,6 +139,22 @@ def test_import_s2g_generator_matches_torch_forward(tmp_path):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_square_linear_weight_is_transposed():
+    """Self-review r4: the linear transpose is decided by the flax leaf
+    role ('kernel'), not by shape — a square Cin==Cout torch Linear weight
+    must still import as W.T, which a shape heuristic silently skips."""
+    from mixstage_tpu.interop.torch_import import _to_flax
+
+    w = np.arange(16, dtype=np.float32).reshape(4, 4)  # torch (Cout, Cin)
+    out = _to_flax(w, np.zeros((4, 4), np.float32), "net.lin.weight",
+                   flax_path="lin/kernel")
+    np.testing.assert_array_equal(out, w.T)
+    # embedding-style 2-D leaves (not 'kernel') stay untransposed
+    out2 = _to_flax(w, np.zeros((4, 4), np.float32), "net.emb.weight",
+                    flax_path="emb/embedding")
+    np.testing.assert_array_equal(out2, w)
+
+
 def test_import_missing_key_raises(tmp_path):
     gan, G, D = _ref_gan()
     sd = {k: v.detach().numpy() for k, v in gan.state_dict().items()}
