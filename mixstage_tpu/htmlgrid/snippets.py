@@ -51,7 +51,10 @@ TEMPLATES: Dict[str, Template] = {
         "  {% for name in names %}"
         "  <tr>\n"
         "    {% for col in columns %}"
-        "{% if 'mp4' in name[col] or 'gif' in name[col] %}"
+        "{% if 'gif' in name[col] %}"
+        '    <td align="center"><img width="300" '
+        'src="{{ name[col] }}"></td>\n'
+        "{% elif 'mp4' in name[col] %}"
         '    <td align="center"><video width="300" controls>'
         '<source src="{{ name[col] }}" type="video/mp4">'
         "</video></td>\n"

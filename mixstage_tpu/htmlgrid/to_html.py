@@ -22,7 +22,7 @@ _TEMPLATE = Template("""<!DOCTYPE html>
     body { font-family: monospace; }
     table { border-collapse: collapse; }
     td, th { border: 1px solid #999; padding: 4px; text-align: center; }
-    video { max-width: 320px; }
+    video, img { max-width: 320px; }
   </style>
 </head>
 <body>
@@ -36,7 +36,11 @@ _TEMPLATE = Template("""<!DOCTYPE html>
       <td>
         {% for video in grid.get((src, tgt), []) %}
         <div>{{ video.rsplit('/', 1)[-1] }}</div>
+        {% if video.endswith('.gif') %}
+        <img src="{{ video }}" alt="{{ video }}">
+        {% else %}
         <video controls src="{{ video }}"></video>
+        {% endif %}
         {% endfor %}
       </td>
       {% endfor %}

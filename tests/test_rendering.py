@@ -200,10 +200,16 @@ def test_html_grid(tmp_path):
     (tmp_path / "render_oliver_maher" / "test" / "oliver").mkdir(parents=True)
     (tmp_path / "render_oliver_maher" / "test" / "oliver" / "1.mp4").touch()
     (tmp_path / "render" / "test" / "oliver").mkdir(parents=True)
+    (tmp_path / "render" / "test" / "oliver" / "2.gif").touch()
     page = make_html_file(str(tmp_path))
     html = open(page).read()
     assert "oliver" in html and "maher" in html
     assert "1.mp4" in html
+    # mp4 embeds as <video>, the ffmpeg-less GIF fallback as <img>
+    # (browsers do not play GIFs inside <video> tags)
+    assert '<video controls src="render_oliver_maher/test/oliver/1.mp4"' \
+        in html
+    assert '<img src="render/test/oliver/2.gif"' in html
 
 
 def test_html_snippets_compose_reference_report(tmp_path):
@@ -252,12 +258,14 @@ def test_html_supplementary_page(tmp_path):
     out = make_supplementary(
         [{"title": "B1. Body Orientation Style",
           "description": "left vs right",
-          "names": [["1", "modelA"], ["oliver", "render/test/o/0.mp4"]],
+          "names": [["1", "modelA"], ["oliver", "render/test/o/0.mp4"],
+                    ["maher", "render/test/m/0.gif"]],
           "columns": [0, 1]}],
         title="Appendix B", out_path=str(tmp_path / "supp.html"))
     html = open(out).read()
     assert "Speaker \\ Model" in html            # '1' marker cell expanded
     assert "B1. Body Orientation Style" in html and "<video" in html
+    assert '<img width="300" src="render/test/m/0.gif">' in html
 
 
 def test_raster_native_matches_numpy_reference(raster_lib):
