@@ -328,6 +328,27 @@ def _host_only_extras() -> dict:
     return out
 
 
+def session_rtt_ms(n: int = 5) -> float:
+    """Median host→device→host round-trip of a trivial jitted op — the
+    degraded-tunnel canary.  A healthy session syncs in ~3-7 ms; degraded
+    sessions sit at ~27-32 ms/sync (CLAUDE.md environment note) and poison
+    every per-call section measured after the degradation, so the extras
+    record the RTT at section boundaries to make bad numbers attributable
+    to the transport rather than the code."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(f(x))  # compile + warm
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return round(sorted(ts)[n // 2] * 1e3, 2)
+
+
 def main():
     if not tpu_preflight():
         # The device backend is unreachable: emit an honest, parseable
@@ -374,6 +395,9 @@ def main():
                        use_pose_input=False)
     d_flops = flops_of(steps["d"], state, batch, jax.random.key(1),
                        use_pose_input=False)
+
+    rtt_start = session_rtt_ms()
+    log(f"session RTT canary at start: {rtt_start} ms/sync")
 
     # ---- per-step training path (dispatch-bound through the tunnel) -------
     log("compiling per-step G/D…")
@@ -458,6 +482,8 @@ def main():
     # ---- serving: p50 audio→pose latency per 64-frame clip -----------------
     eval_factory = build(jnp.float32, donate=False)
     ebatch = _example_batch(B=B)
+    rtt_serving = session_rtt_ms()
+    log(f"session RTT canary before serving section: {rtt_serving} ms/sync")
     estate = eval_factory.init(jax.random.key(0), ebatch)
     try:
         from mixstage_tpu.serve import build_serving_fn
@@ -605,6 +631,8 @@ def main():
         log(f"streaming bench unavailable ({e})")
         streaming_extras = {}
 
+    rtt_end = session_rtt_ms()
+    log(f"session RTT canary at end: {rtt_end} ms/sync")
     print(json.dumps({
         "metric": "mixstage_gan_train_pose_frames_per_sec_per_chip_bs32",
         "value": round(headline_fps, 1),
@@ -643,6 +671,12 @@ def main():
                 if serve_tflops else None,
             "n_chips": n_chips,
             "reference_frames_per_sec_cpu": round(ref, 1),
+            # degraded-tunnel canary: healthy ≈3-7 ms/sync; ≈27-32 ms means
+            # the transport degraded and per-call sections AFTER that point
+            # understate the chip (code is unchanged — see session_rtt_ms)
+            "session_rtt_ms_start": rtt_start,
+            "session_rtt_ms_before_serving": rtt_serving,
+            "session_rtt_ms_end": rtt_end,
             **sampling_extras,
             **endpoint_extras,
             **streaming_extras},
