@@ -55,6 +55,20 @@ def add_slices(x: np.ndarray, insert: np.ndarray, mask: Sequence[int],
     return out
 
 
+class TransformDict:
+    """Lift an array→array transform to dict batches: apply it to every
+    value (transform.py:25-48)."""
+
+    def __init__(self, transform):
+        self.transform = transform
+
+    def __call__(self, batch, **kwargs):
+        return {key: self.transform(batch[key], **kwargs) for key in batch}
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}({self.transform})"
+
+
 class Compose:
     """Compose transforms; ``inv=True`` applies inverses in reverse order
     (transform.py:50-96)."""

@@ -9,7 +9,8 @@ from mixstage_tpu.data.dataset import (AlternateClassSampler,
 from mixstage_tpu.data.synthetic import make_synthetic_dataset
 from mixstage_tpu.data.transforms import (Compose, KMeansTransform,
                                           Relative2Parent, RemoveJoints,
-                                          ZNorm, add_slices, remove_slices)
+                                          TransformDict, ZNorm, add_slices,
+                                          remove_slices)
 
 
 @pytest.fixture(scope="module")
@@ -179,6 +180,21 @@ def test_remove_joints_invertible():
     assert y.shape == (4, 64, 96)
     back = rj(y, inv=True)
     np.testing.assert_allclose(back, x, rtol=1e-12)
+
+
+def test_transform_dict_lifts_to_dict_batches():
+    """TransformDict applies an array transform to every dict value
+    (reference transform.py:25-48) and inverses compose through it."""
+    rng = np.random.default_rng(1)
+    batch = {"a": rng.normal(size=(2, 8, 104)),
+             "b": rng.normal(size=(2, 8, 104))}
+    td = TransformDict(RemoveJoints([0, 7, 8, 9]))
+    out = td(batch)
+    assert set(out) == {"a", "b"} and out["a"].shape == (2, 8, 96)
+    # last-applied insert belongs to "b"; explicit inverse reconstructs it
+    back = td.transform(out["b"], inv=True)
+    np.testing.assert_allclose(back, batch["b"], rtol=1e-12)
+    assert "RemoveJoints" in repr(td)
 
 
 def test_relative2parent_invertible():
