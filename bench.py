@@ -353,8 +353,10 @@ def main():
     if not tpu_preflight():
         # The device backend is unreachable: emit an honest, parseable
         # failure record instead of hanging the driver.  Last good numbers
-        # remain in BENCH_r02.json; nothing here is fabricated — the only
-        # measurements included are host-side ones that need no TPU.
+        # remain in the newest BENCH_r*.json; nothing here is fabricated —
+        # the only measurements included are host-side ones that need no TPU.
+        benches = sorted(Path(__file__).parent.glob("BENCH_r*.json"))
+        last_good = benches[-1].name if benches else "none recorded"
         print(json.dumps({
             "metric": "mixstage_gan_train_pose_frames_per_sec_per_chip_bs32",
             "value": 0.0,
@@ -363,7 +365,7 @@ def main():
             "extras": {
                 "error": "tpu_backend_unreachable: backend init/first matmul "
                          "hung past the preflight bound on 3 attempts; see "
-                         "stderr.  Last good driver run: BENCH_r02.json.",
+                         f"stderr.  Last good driver run: {last_good}.",
                 **_host_only_extras()},
         }))
         sys.exit(1)
