@@ -295,6 +295,21 @@ def test_batcher_over_real_serving_fn():
         got = [f.result(120) for f in futs]  # 3 requests → padded batch of 4
         for i in range(3):
             np.testing.assert_allclose(got[i], ref[i], rtol=1e-5, atol=1e-5)
+
+        # arbitrary-length request via the service's pow-2 bucketing over
+        # the SAME real graph: a 50-frame clip pads to the already-compiled
+        # 64-frame bucket and trims back; the prefix matches the direct
+        # call on the padded window
+        service = PoseService(batcher, num_styles=2, mel_bins=128, frames=T)
+        short = audio[0][:50]
+        out = np.asarray(service.infer_json(
+            {"audio": short.tolist(), "style": int(styles[0])})["pose"])
+        assert out.shape[0] == 50
+        padded = np.concatenate([short, np.repeat(short[-1:], T - 50, 0)])
+        direct = np.asarray(serve(
+            jnp.asarray(np.repeat(padded[None], B, 0)),
+            jnp.asarray(np.full((B,), styles[0], np.int32))))[0][:50]
+        np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-5)
     finally:
         batcher.close()
 
