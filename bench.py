@@ -679,6 +679,8 @@ def main():
             "session_rtt_ms_start": rtt_start,
             "session_rtt_ms_before_serving": rtt_serving,
             "session_rtt_ms_end": rtt_end,
+            "session_degraded": bool(
+                max(rtt_start, rtt_serving, rtt_end) > 15.0),
             **sampling_extras,
             **endpoint_extras,
             **streaming_extras},
