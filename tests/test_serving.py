@@ -461,6 +461,66 @@ def test_batcher_groups_mismatched_shapes_instead_of_crashing():
         b.close()
 
 
+def test_http_fuzz_never_kills_the_server():
+    """Robustness property: arbitrary garbage over HTTP always gets an
+    orderly 4xx (never a hang, never a dead worker); a valid request still
+    succeeds afterwards."""
+    # style-form-agnostic fake: with num_styles set, the service one-hot
+    # encodes scalar ids, so the batcher hands the fn (B, S) style vectors
+    def fn(audio, style):
+        sid = np.asarray(style)
+        sid = sid if sid.ndim == 1 else sid.argmax(-1)
+        return audio.sum(-1, keepdims=True) + sid[:, None, None] * 1000.0
+
+    b = DynamicBatcher(fn, batch_size=2, max_wait_ms=2.0,
+                       input_shape=(None, MEL))
+    service = PoseService(b, backend="test", mel_bins=MEL, num_styles=4)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    rng = np.random.default_rng(23)
+
+    bodies = [
+        b"",                                   # empty
+        b"\x00\xff\xfe garbage",               # binary junk as JSON
+        b"[1,2,3]",                            # JSON, wrong type
+        b'{"audio": null}',                    # null audio
+        b'{"audio": {}}',                      # dict audio
+        b'{"audio": [[1e999]]}',               # inf literal
+        json.dumps({"audio": [[float("nan")] * MEL] * 4}).encode(),
+        rng.bytes(256),                        # random bytes
+        json.dumps({"audio": [[1] * MEL] * 4, "style": "oliver"}).encode(),
+        json.dumps({"audio": [[1] * MEL] * 4,
+                    "style": [[0.5] * 4]}).encode(),
+    ]
+    paths = ["/v1/pose", "/v1/stream/doesnotexist",
+             "/v1/stream/x/finish", "/v1/bogus", "/v1/pose_from_waveform"]
+    try:
+        for path in paths:
+            for body in bodies:
+                req = urllib.request.Request(
+                    base + path, data=body,
+                    headers={"Content-Type": "application/json"})
+                try:
+                    urllib.request.urlopen(req, timeout=10)
+                except urllib.error.HTTPError as e:
+                    assert 400 <= e.code < 500, (path, body[:30], e.code)
+                # a 200 is acceptable only for well-formed payloads; the
+                # invariant under fuzz is: no 5xx, no hang, no thread death
+        # server still serves
+        req = urllib.request.Request(
+            base + "/v1/pose",
+            data=json.dumps({"audio": np.ones((T_MEL, MEL)).tolist(),
+                             "style": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req, timeout=10).read())
+        pose = np.asarray(out["pose"])
+        assert np.isfinite(pose).all()
+        assert pose.shape[0] == T_MEL  # pow-2 padding trimmed back off
+    finally:
+        server.shutdown()
+        b.close()
+
+
 def test_arbitrary_length_requests_bucket_to_pow2():
     """Checkpoint-mode servers pad mel windows to power-of-two frame
     buckets (repeat-last-frame) and trim the pose back: arbitrary T is
