@@ -7,8 +7,9 @@ tapered widths, word-highlight captions, ffmpeg writer + audio mux),
 (:345-415) and per-cluster ``frames`` PNG dumps (:418-460).
 
 Host-side subsystem.  When the ffmpeg binary is unavailable (as in this
-container) the writer falls back to matplotlib's Pillow GIF writer and the
-audio mux becomes a no-op with a warning.
+container) the native path muxes decodable audio into a pure-Python
+MJPEG+PCM ``.avi`` (aviwriter.py); the matplotlib fallback writes a silent
+Pillow GIF with a warning.
 """
 
 from __future__ import annotations
@@ -203,7 +204,11 @@ def animate(ys, interval_id, parents, dir_name, desc, data, start, end, idx,
 def _animate_native(ys, filename, filename_temp, parents, data, interval_id,
                     start, end, text, fps, bitrate):
     """Native-rasterizer render path (see animation/raster.py); identical
-    file/audio-mux contract to the matplotlib path above."""
+    file/audio-mux contract to the matplotlib path above, plus an
+    ffmpeg-free mux: when the binary is absent but the interval's audio is
+    decodable in-process (WAV via the stdlib, anything via soundfile when
+    installed), the clip is written as MJPEG+PCM ``.avi`` instead of a
+    silent GIF (aviwriter.py; reference mux: animation.py:251-271)."""
     from mixstage_tpu.animation import raster
 
     if start is not None and have_ffmpeg():
@@ -216,8 +221,23 @@ def _animate_native(ys, filename, filename_temp, parents, data, interval_id,
         else:
             shutil.move(filename_temp.as_posix(), filename.as_posix())
     else:
+        audio = None
+        if start is not None:
+            audio_file = get_audio_file(data, interval_id)
+            if audio_file is not None:
+                from mixstage_tpu.animation.aviwriter import decode_audio
+
+                decoded = decode_audio(audio_file)
+                if decoded is not None:
+                    pcm, sr = decoded
+                    ys_list = ys if isinstance(ys, list) else [ys]
+                    dur = min(int(y.shape[0]) for y in ys_list) / fps
+                    stop = min(float(end) if end is not None
+                               else start + dur, start + dur)
+                    audio = (pcm[int(start * sr):int(stop * sr)], sr)
+                    filename = filename.with_suffix(".avi")
         raster.render_to_file(ys, parents, filename.as_posix(), text=text,
-                              fps=fps, bitrate=bitrate)
+                              fps=fps, bitrate=bitrate, audio=audio)
     print(f"{filename} saved")
     return filename.as_posix()
 
@@ -229,14 +249,21 @@ def in_modalities(modality: str, input_modalities) -> bool:
 
 
 def get_audio_file(data, interval_id) -> Optional[str]:
+    """The interval's raw audio clip.  The reference dataset ships mp3
+    (animation.py:274-283); ``.wav`` is also accepted so the ffmpeg-free
+    mux path has a stdlib-decodable source (mp3 wins when both exist)."""
     speaker = data.getSpeaker(interval_id)
     parent = Path(data.path2data) / "raw" / f"{speaker}_cropped"
     if not parent.exists():
         return None
+    best = None
     for f in parent.iterdir():
-        if f.suffix == ".mp3" and f.stem.split("_")[-1] == str(interval_id):
-            return f.as_posix()
-    return None
+        if f.suffix in (".mp3", ".wav") and \
+                f.stem.split("_")[-1] == str(interval_id):
+            if f.suffix == ".mp3":
+                return f.as_posix()
+            best = f.as_posix()
+    return best
 
 
 def add_audio(start, end, audio_file, filename_temp, filename):
@@ -327,6 +354,8 @@ def render_ground_truth(args, exp_num):
                 y = y.reshape(-1, 2, feats_shape)
                 y[..., 0] = 0
                 interval_id = batch["meta"]["interval_id"][0]
+                # start=0 so interval audio muxes in (reference
+                # animation.py:399,410)
                 animate(y, interval_id, data.modality_classes[output_modality].parents,
-                        dir_name, desc, data, None, None, None, "gt", text)
+                        dir_name, desc, data, 0, None, None, "gt", text)
                 break

@@ -375,17 +375,28 @@ def write_mp4(frames: np.ndarray, path: str, fps: int,
 
 def render_to_file(ys, parents, filename: str, text=None, fps: int = 15,
                    bitrate: int = 1000, panel: int = 480,
-                   world_half: float = 500.0, chunk_frames: int = 64) -> str:
-    """Rasterize + caption + encode one clip (GIF or mp4 by extension),
-    streaming ``chunk_frames`` at a time — a 375-frame pred+GT pair at
-    480 px would be ~0.5 GB as a single stack."""
+                   world_half: float = 500.0, chunk_frames: int = 64,
+                   audio=None) -> str:
+    """Rasterize + caption + encode one clip (GIF, mp4, or MJPEG avi by
+    extension), streaming ``chunk_frames`` at a time — a 375-frame pred+GT
+    pair at 480 px would be ~0.5 GB as a single stack.  ``audio`` is an
+    optional ``(int16_pcm, sample_rate)`` pair muxed into ``.avi`` output
+    (the ffmpeg-free audio path; see animation/aviwriter.py)."""
     if not isinstance(ys, (list, tuple)):
         ys = [ys]
     T = min(int(y.shape[0]) for y in ys)
     captions = (CaptionOverlay(text)
                 if text is not None and len(text) else None)
-    writer = (Mp4Writer(filename, fps, bitrate)
-              if filename.endswith(".mp4") else GifWriter(filename, fps))
+    if filename.endswith(".mp4"):
+        writer = Mp4Writer(filename, fps, bitrate)
+    elif filename.endswith(".avi"):
+        from mixstage_tpu.animation.aviwriter import AviWriter
+
+        writer = AviWriter(filename, fps)
+        if audio is not None:
+            writer.set_audio(audio[0], audio[1])
+    else:
+        writer = GifWriter(filename, fps)
     for t0 in range(0, T, chunk_frames):
         t1 = min(T, t0 + chunk_frames)
         frames = rasterize([np.asarray(y)[t0:t1] for y in ys], parents,

@@ -96,14 +96,18 @@ def render(args: Config, exp_num: int):
             target = (out / (f"render_{subname}" if subname else "render")
                       / desc / data.getSpeaker(interval_id)
                       / f"{interval_id}.mp4")
-            if target.exists() and not args.clean_render:
+            if not args.clean_render and any(
+                    target.with_suffix(ext).exists()
+                    for ext in (".mp4", ".gif", ".avi")):
                 continue
+            # start=0: interval audio clips are per-interval crops, so the
+            # mux seeks from 0 (reference render.py:112)
             animate(ys, interval_id, parents, out.as_posix(), desc, data,
-                    None, None, None, subname, text=text)
+                    0, None, None, subname, text=text)
             # prediction-only pass, rendered under render_eval*
             # (reference render.py:123-126)
             animate([y_pred], interval_id, parents, out.as_posix(), desc,
-                    data, None, None, None,
+                    data, 0, None, None,
                     f"eval_{subname}" if subname else "eval", text=text)
     # style-transfer matrix pages, only when transfer dirs exist
     # (reference render.py:129-132: 'videos' + a 4-clip 'videos_subset')

@@ -62,6 +62,7 @@ def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
                            with_text: bool = False,
                            with_raw_transcripts: bool = False,
                            with_raw_keypoints: bool = False,
+                           with_raw_audio: bool = False,
                            seed: int = 11212) -> str:
     """Write a synthetic dataset under ``path2data``; returns the path.
 
@@ -69,6 +70,12 @@ def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
     the not-aligned text path (reference text.py:142-237): one video per
     speaker whose intervals run back-to-back, with a word-timing CSV at
     ``raw/<speaker>/<video>_transcripts/<video>.csv``.
+
+    ``with_raw_audio`` writes per-interval audio crops at
+    ``raw/<speaker>_cropped/<video>_<interval_id>.wav`` (the layout
+    ``get_audio_file`` globs — reference animation.py:274-283 ships mp3;
+    WAV here so the ffmpeg-free mux can decode it in-process): a tone whose
+    pitch tracks the interval's pose energy.
 
     ``with_raw_keypoints`` writes the raw trees the skeleton preprocessing
     consumes (reference skeleton.py:29-48,180-245): per-frame ``(2, 52)``
@@ -120,6 +127,24 @@ def make_synthetic_dataset(path2data: str, speakers: Optional[List[str]] = None,
                 w2v = np.repeat(rng.normal(size=(num_pose // 15 + 1, W2V_FEATS)),
                                 15, axis=0)[:num_pose]
                 HDF5.append(h5path, "text/w2v", w2v)
+
+            if with_raw_audio:
+                import wave
+
+                adir = Path(path2data) / "raw" / f"{speaker}_cropped"
+                os.makedirs(adir, exist_ok=True)
+                sr = 16000
+                t = np.arange(int(interval_seconds * sr)) / sr
+                hz = 220.0 + 40.0 * np.interp(
+                    t / interval_seconds, t_pose, energy)
+                tone = np.sin(2 * np.pi * np.cumsum(hz) / sr)
+                pcm = (tone * 18000).astype(np.int16)
+                with wave.open(str(adir / f"{video_id}_{interval_id}.wav"),
+                               "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sr)
+                    wf.writeframes(pcm.tobytes())
 
             dataset = ["train", "dev", "test"][min(k, 2)] \
                 if num_intervals_per_speaker >= 3 else "train"

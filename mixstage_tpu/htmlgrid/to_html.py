@@ -70,7 +70,7 @@ def get_list_files(view_dir: str, num_videos: int = 2) -> Dict:
         speakers.update([src, tgt])
         videos = sorted(str(p.relative_to(view))
                         for p in entry.rglob("*")
-                        if p.suffix in (".mp4", ".gif"))[:num_videos]
+                        if p.suffix in (".mp4", ".gif", ".avi"))[:num_videos]
         grid[(src, tgt)] = videos
     return {"grid": grid, "speakers": sorted(speakers)}
 
