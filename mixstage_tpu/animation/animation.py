@@ -234,8 +234,17 @@ def _animate_native(ys, filename, filename_temp, parents, data, interval_id,
                     dur = min(int(y.shape[0]) for y in ys_list) / fps
                     stop = min(float(end) if end is not None
                                else start + dur, start + dur)
-                    audio = (pcm[int(start * sr):int(stop * sr)], sr)
-                    filename = filename.with_suffix(".avi")
+                    clip = pcm[int(start * sr):int(stop * sr)]
+                    if clip.size:
+                        # ffmpeg's -shortest truncates the VIDEO to the
+                        # audio track too; mirror that so the two mux paths
+                        # produce the same clip length.
+                        n_keep = min(int(round(dur * fps)),
+                                     int(round(clip.size / sr * fps)))
+                        if n_keep > 0:
+                            ys = [np.asarray(y)[:n_keep] for y in ys_list]
+                            audio = (clip, sr)
+                            filename = filename.with_suffix(".avi")
         raster.render_to_file(ys, parents, filename.as_posix(), text=text,
                               fps=fps, bitrate=bitrate, audio=audio)
     print(f"{filename} saved")
@@ -251,19 +260,20 @@ def in_modalities(modality: str, input_modalities) -> bool:
 def get_audio_file(data, interval_id) -> Optional[str]:
     """The interval's raw audio clip.  The reference dataset ships mp3
     (animation.py:274-283); ``.wav`` is also accepted so the ffmpeg-free
-    mux path has a stdlib-decodable source (mp3 wins when both exist)."""
+    mux path has a stdlib-decodable source.  When both exist the preference
+    follows the available decoder: mp3 with ffmpeg (reference behavior),
+    wav without (the stdlib cannot decode mp3)."""
     speaker = data.getSpeaker(interval_id)
     parent = Path(data.path2data) / "raw" / f"{speaker}_cropped"
     if not parent.exists():
         return None
-    best = None
+    found = {}
     for f in parent.iterdir():
         if f.suffix in (".mp3", ".wav") and \
                 f.stem.split("_")[-1] == str(interval_id):
-            if f.suffix == ".mp3":
-                return f.as_posix()
-            best = f.as_posix()
-    return best
+            found[f.suffix] = f.as_posix()
+    order = (".mp3", ".wav") if have_ffmpeg() else (".wav", ".mp3")
+    return next((found[s] for s in order if s in found), None)
 
 
 def add_audio(start, end, audio_file, filename_temp, filename):

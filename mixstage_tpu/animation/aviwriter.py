@@ -73,12 +73,16 @@ class AviWriter:
         self._frames.extend(encode_jpeg(f, self.quality) for f in frames)
 
     def set_audio(self, pcm: np.ndarray, sample_rate: int) -> None:
-        """Attach a mono int16 track (float input in [-1, 1] is converted)."""
+        """Attach a mono int16 track (float input in [-1, 1] is converted).
+        Scale conversion happens BEFORE channel averaging: int16 stereo must
+        be averaged in the int16 scale, not pushed through the [-1, 1] clip."""
         pcm = np.asarray(pcm)
-        if pcm.ndim > 1:
+        if pcm.dtype != np.int16:  # float in [-1, 1] -> int16 scale
+            pcm = np.clip(pcm, -1.0, 1.0) * 32767.0
+        if pcm.ndim > 1:           # average channels (float64, int16 scale)
             pcm = pcm.mean(axis=-1)
         if pcm.dtype != np.int16:
-            pcm = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
+            pcm = np.round(pcm).astype(np.int16)
         self._pcm = np.ascontiguousarray(pcm)
         self._rate = int(sample_rate)
 
@@ -153,14 +157,14 @@ class AviWriter:
         # auto-detect; absolute is what OpenCV's built-in MJPEG container
         # parser (our in-container independent validator) resolves.
         movi_fourcc_abs = 12 + len(hdrl) + 8
-        movi_body = b"movi"
-        idx1 = b""
+        movi_body = bytearray(b"movi")   # bytearray: linear-time appends
+        idx1 = bytearray()
         for fourcc, payload in chunks:
             idx1 += struct.pack("<4sIII", fourcc, AVIIF_KEYFRAME,
                                 movi_fourcc_abs + len(movi_body), len(payload))
             movi_body += _chunk(fourcc, payload)
-        riff_body = b"AVI " + hdrl + _chunk(b"LIST", movi_body) \
-            + _chunk(b"idx1", idx1)
+        riff_body = b"AVI " + hdrl + _chunk(b"LIST", bytes(movi_body)) \
+            + _chunk(b"idx1", bytes(idx1))
         with open(self.path, "wb") as fh:
             fh.write(_chunk(b"RIFF", riff_body))
 
@@ -200,7 +204,7 @@ def decode_audio(path: str) -> Optional[Tuple[np.ndarray, int]]:
         try:
             return read_wav(p)
         except Exception:
-            return None
+            pass  # e.g. IEEE-float / EXTENSIBLE wav: fall through to soundfile
     try:
         import soundfile as sf
     except ImportError:

@@ -51,13 +51,16 @@ TEMPLATES: Dict[str, Template] = {
         "  {% for name in names %}"
         "  <tr>\n"
         "    {% for col in columns %}"
-        "{% if 'gif' in name[col] %}"
+        "{% if name[col].endswith('.gif') %}"
         '    <td align="center"><img width="300" '
         'src="{{ name[col] }}"></td>\n'
-        "{% elif 'mp4' in name[col] %}"
+        "{% elif name[col].endswith('.mp4') %}"
         '    <td align="center"><video width="300" controls>'
         '<source src="{{ name[col] }}" type="video/mp4">'
         "</video></td>\n"
+        "{% elif name[col].endswith('.avi') %}"
+        '    <td align="center"><a href="{{ name[col] }}" download>'
+        "AVI clip with audio (download)</a></td>\n"
         "{% elif name[col] == '0' %}"
         '    <td align="center"> <b>Content \\ Style</b> </td>\n'
         "{% elif name[col] == '1' %}"

@@ -38,6 +38,9 @@ _TEMPLATE = Template("""<!DOCTYPE html>
         <div>{{ video.rsplit('/', 1)[-1] }}</div>
         {% if video.endswith('.gif') %}
         <img src="{{ video }}" alt="{{ video }}">
+        {% elif video.endswith('.avi') %}
+        {# browsers cannot demux MJPEG AVI — link instead of a dead player #}
+        <div><a href="{{ video }}" download>AVI clip with audio (download)</a></div>
         {% else %}
         <video controls src="{{ video }}"></video>
         {% endif %}

@@ -143,6 +143,92 @@ def test_animate_muxes_wav_audio_without_ffmpeg(tmp_path, monkeypatch):
     assert info["pcm"] == pcm[lo:hi].tobytes()
 
 
+def test_animate_shortest_truncates_video_to_audio(tmp_path, monkeypatch):
+    """Audio shorter than the rendered clip: ffmpeg's ``-shortest`` truncates
+    the video track to the audio; the ffmpeg-free mux mirrors that so both
+    paths produce the same clip length (reference animation.py:251-271)."""
+    from mixstage_tpu.animation import animation
+
+    monkeypatch.setattr(animation, "have_ffmpeg", lambda: False)
+    raw = tmp_path / "data" / "raw" / "oliver_cropped"
+    raw.mkdir(parents=True)
+    pcm = _tone(1.7)  # video below asks for [0.5, 2.5) -> only 1.2 s exists
+    with wave.open(str(raw / "audio_7.wav"), "wb") as f:
+        f.setnchannels(1), f.setsampwidth(2), f.setframerate(SR)
+        f.writeframes(pcm.tobytes())
+
+    class FakeData:
+        path2data = str(tmp_path / "data")
+
+        def getSpeaker(self, interval_id):
+            return "oliver"
+
+    T = 10  # 2 s of video at FPS=5
+    y = np.cumsum(np.random.default_rng(2).normal(size=(T, 2, 52)), 0) * 10
+    out = animation.animate(y, "7", PARENTS, str(tmp_path), "test",
+                            FakeData(), 0.5, None, None, None, fps=FPS)
+    assert out.endswith(".avi")
+    info = parse_avi(out)
+    got_pcm = np.frombuffer(info["pcm"], np.int16)
+    assert got_pcm.size == pcm.size - int(0.5 * SR)   # [start, end-of-audio)
+    # video truncated to the audio's 1.2 s -> 6 frames, not 10
+    assert len(info["frames"]) == int(round(got_pcm.size / SR * FPS))
+
+
+def test_get_audio_file_prefers_decodable_source(tmp_path, monkeypatch):
+    """mp3 + wav both on disk: mp3 wins with ffmpeg (reference dataset ships
+    mp3 — animation.py:274-283), wav wins without (stdlib can't decode mp3)."""
+    from mixstage_tpu.animation import animation
+
+    raw = tmp_path / "raw" / "oliver_cropped"
+    raw.mkdir(parents=True)
+    (raw / "clip_42.mp3").touch()
+    (raw / "clip_42.wav").touch()
+
+    class FakeData:
+        path2data = str(tmp_path)
+
+        def getSpeaker(self, interval_id):
+            return "oliver"
+
+    monkeypatch.setattr(animation, "have_ffmpeg", lambda: True)
+    assert animation.get_audio_file(FakeData(), 42).endswith(".mp3")
+    monkeypatch.setattr(animation, "have_ffmpeg", lambda: False)
+    assert animation.get_audio_file(FakeData(), 42).endswith(".wav")
+    # only one form present -> it is returned either way
+    (raw / "clip_42.wav").unlink()
+    assert animation.get_audio_file(FakeData(), 42).endswith(".mp3")
+
+
+def test_set_audio_int16_stereo_averages_in_int16_scale(tmp_path):
+    """int16 stereo must be averaged at int16 scale, not pushed through the
+    [-1, 1] float clip (which would flatten everything to ±1)."""
+    w = AviWriter(str(tmp_path / "x.avi"), fps=FPS)
+    w.add(_frames(T=2))
+    stereo = np.array([[20000, 10000], [-20000, -10000], [5, -4]], np.int16)
+    w.set_audio(stereo, SR)
+    assert w._pcm.dtype == np.int16
+    assert list(w._pcm) == [15000, -15000, 0]  # mean, rounded to nearest
+    # float stereo still goes through the [-1, 1] clip first
+    w.set_audio(np.array([[0.5, 1.5]], np.float32), SR)  # 1.5 clips to 1.0
+    assert list(w._pcm) == [int(round((0.5 + 1.0) / 2 * 32767))]
+
+
+def test_decode_audio_unreadable_wav_degrades_to_none(tmp_path):
+    """A wav the stdlib reader rejects (e.g. IEEE-float) falls through to
+    soundfile when installed, else returns None — never raises."""
+    bad = tmp_path / "f32.wav"
+    bad.write_bytes(b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+                    b"\x03\x00\x01\x00" + (8000).to_bytes(4, "little") * 2 +
+                    b"\x04\x00\x20\x00data\x00\x00\x00\x00")
+    try:
+        import soundfile  # noqa: F401
+        pytest.skip("soundfile installed; fallback path would decode")
+    except ImportError:
+        pass
+    assert decode_audio(str(bad)) is None
+
+
 def test_animate_without_audio_still_writes_gif(tmp_path, monkeypatch):
     """start=None (no mux requested) keeps the silent-GIF contract."""
     from mixstage_tpu.animation import animation

@@ -268,6 +268,32 @@ def test_html_supplementary_page(tmp_path):
     assert '<img width="300" src="render/test/m/0.gif">' in html
 
 
+def test_html_media_kind_by_suffix(tmp_path):
+    """Media kind decided by SUFFIX, not substring ('gifford.mp4' is a
+    video), and MJPEG .avi clips get a download link (browsers can't demux
+    them — a <video> tag would show a dead player)."""
+    from mixstage_tpu.htmlgrid.snippets import make_supplementary
+    from mixstage_tpu.htmlgrid.to_html import _TEMPLATE
+
+    out = make_supplementary(
+        [{"title": "S", "description": "d",
+          "names": [["oliver", "render/test/gifford/clip.mp4"],
+                    ["maher", "render/test/m/clip.avi"]],
+          "columns": [0, 1]}],
+        title="T", out_path=str(tmp_path / "supp.html"))
+    html = open(out).read()
+    assert '<source src="render/test/gifford/clip.mp4"' in html  # not <img>
+    assert '<img width="300" src="render/test/gifford' not in html
+    assert '<a href="render/test/m/clip.avi" download>' in html
+
+    page = _TEMPLATE.render(
+        title="t", sources=["a"], targets=["b"],
+        grid={("a", "b"): ["x/gifford.mp4", "x/clip.avi", "x/clip.gif"]})
+    assert '<video controls src="x/gifford.mp4">' in page
+    assert '<a href="x/clip.avi" download>' in page
+    assert '<img src="x/clip.gif"' in page
+
+
 def test_raster_native_matches_numpy_reference(raster_lib):
     """The C++ rasterizer and the pure-numpy fallback implement identical
     math (tapered-capsule coverage, per-bone uint8 quantization)."""
