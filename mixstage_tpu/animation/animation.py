@@ -7,9 +7,9 @@ tapered widths, word-highlight captions, ffmpeg writer + audio mux),
 (:345-415) and per-cluster ``frames`` PNG dumps (:418-460).
 
 Host-side subsystem.  When the ffmpeg binary is unavailable (as in this
-container) the native path muxes decodable audio into a pure-Python
-MJPEG+PCM ``.avi`` (aviwriter.py); the matplotlib fallback writes a silent
-Pillow GIF with a warning.
+container) BOTH backends mux decodable audio into a pure-Python MJPEG+PCM
+``.avi`` (aviwriter.py; the matplotlib fallback re-reads its Pillow GIF's
+frames to do so); with no decodable audio the render stays a silent GIF.
 """
 
 from __future__ import annotations
@@ -179,9 +179,8 @@ def animate(ys, interval_id, parents, dir_name, desc, data, start, end, idx,
         if text_subs is not None:
             draw_caption(frame)
 
-    anim = FuncAnimation(fig, update,
-                         frames=range(min(y.shape[0] for y in ys)),
-                         init_func=init)
+    n_frames = min(y.shape[0] for y in ys)
+    anim = FuncAnimation(fig, update, frames=range(n_frames), init_func=init)
     if have_ffmpeg():
         writer = writers["ffmpeg"](fps=fps, metadata={}, bitrate=bitrate)
     else:
@@ -195,10 +194,76 @@ def animate(ys, interval_id, parents, dir_name, desc, data, start, end, idx,
         else:
             shutil.move(filename_temp.as_posix(), filename.as_posix())
     else:
-        anim.save(filename.as_posix(), writer=writer)
+        plan = None if have_ffmpeg() else _ffmpeg_free_mux_plan(
+            data, interval_id, start, end, n_frames, fps)
+        if plan is not None:
+            # same ffmpeg-free contract as the native path: re-read the
+            # Pillow GIF's frames and remux them as MJPEG+PCM .avi
+            clip, sr, n_keep = plan
+            anim.save(filename_temp.as_posix(), writer=writer)
+            from mixstage_tpu.animation.aviwriter import AviWriter
+
+            filename = filename.with_suffix(".avi")
+            w = AviWriter(filename.as_posix(), fps=fps)
+            w.add(np.stack(_gif_frames(filename_temp.as_posix(), fps)
+                           [:n_keep]))
+            w.set_audio(clip, sr)
+            w.close()
+            filename_temp.unlink()
+        else:
+            anim.save(filename.as_posix(), writer=writer)
     print(f"{filename} saved")
     plt.close("all")
     return filename.as_posix()
+
+
+def _ffmpeg_free_mux_plan(data, interval_id, start, end, n_frames, fps):
+    """The ffmpeg-free audio-mux decision shared by both render backends:
+    ``(pcm_clip, sample_rate, n_video_frames_to_keep)`` when the interval's
+    audio is decodable in-process and overlaps ``[start, stop)``, else None
+    (silent render).  Mirrors the reference mux's ``-ss start``/``-shortest``
+    semantics (animation.py:251-271): the clip starts at ``start`` and the
+    SHORTER track truncates the other."""
+    if start is None:
+        return None
+    audio_file = get_audio_file(data, interval_id)
+    if audio_file is None:
+        return None
+    from mixstage_tpu.animation.aviwriter import decode_audio
+
+    decoded = decode_audio(audio_file)
+    if decoded is None:
+        return None
+    pcm, sr = decoded
+    dur = n_frames / fps
+    stop = min(float(end) if end is not None else start + dur, start + dur)
+    clip = pcm[int(start * sr):int(stop * sr)]
+    if not clip.size:
+        return None
+    n_keep = min(int(round(dur * fps)),
+                 int(round(clip.size / sr * fps)))
+    if n_keep <= 0:
+        return None
+    return clip, sr, n_keep
+
+
+def _gif_frames(path: str, fps: int):
+    """Decode a GIF back into constant-fps RGB frames.  PIL merges identical
+    consecutive frames into one longer-duration frame, so each stored frame
+    is repeated ``round(duration * fps)`` times to reconstruct the original
+    constant-rate sequence."""
+    from PIL import Image, ImageSequence
+
+    frames = []
+    with Image.open(path) as im:
+        for frame in ImageSequence.Iterator(im):
+            rgba = frame.convert("RGBA")
+            bg = Image.new("RGBA", rgba.size, (255, 255, 255, 255))
+            arr = np.asarray(Image.alpha_composite(bg, rgba).convert("RGB"))
+            repeats = max(1, int(round(
+                frame.info.get("duration", 1000 / fps) / 1000 * fps)))
+            frames.extend([arr] * repeats)
+    return frames
 
 
 def _animate_native(ys, filename, filename_temp, parents, data, interval_id,
@@ -222,29 +287,15 @@ def _animate_native(ys, filename, filename_temp, parents, data, interval_id,
             shutil.move(filename_temp.as_posix(), filename.as_posix())
     else:
         audio = None
-        if start is not None:
-            audio_file = get_audio_file(data, interval_id)
-            if audio_file is not None:
-                from mixstage_tpu.animation.aviwriter import decode_audio
-
-                decoded = decode_audio(audio_file)
-                if decoded is not None:
-                    pcm, sr = decoded
-                    ys_list = ys if isinstance(ys, list) else [ys]
-                    dur = min(int(y.shape[0]) for y in ys_list) / fps
-                    stop = min(float(end) if end is not None
-                               else start + dur, start + dur)
-                    clip = pcm[int(start * sr):int(stop * sr)]
-                    if clip.size:
-                        # ffmpeg's -shortest truncates the VIDEO to the
-                        # audio track too; mirror that so the two mux paths
-                        # produce the same clip length.
-                        n_keep = min(int(round(dur * fps)),
-                                     int(round(clip.size / sr * fps)))
-                        if n_keep > 0:
-                            ys = [np.asarray(y)[:n_keep] for y in ys_list]
-                            audio = (clip, sr)
-                            filename = filename.with_suffix(".avi")
+        ys_list = ys if isinstance(ys, list) else [ys]
+        plan = _ffmpeg_free_mux_plan(
+            data, interval_id, start, end,
+            min(int(y.shape[0]) for y in ys_list), fps)
+        if plan is not None:
+            clip, sr, n_keep = plan
+            ys = [np.asarray(y)[:n_keep] for y in ys_list]
+            audio = (clip, sr)
+            filename = filename.with_suffix(".avi")
         raster.render_to_file(ys, parents, filename.as_posix(), text=text,
                               fps=fps, bitrate=bitrate, audio=audio)
     print(f"{filename} saved")

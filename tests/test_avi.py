@@ -175,6 +175,38 @@ def test_animate_shortest_truncates_video_to_audio(tmp_path, monkeypatch):
     assert len(info["frames"]) == int(round(got_pcm.size / SR * FPS))
 
 
+def test_animate_matplotlib_backend_muxes_audio_too(tmp_path, monkeypatch):
+    """Backend parity: the matplotlib fallback honors the same ffmpeg-free
+    mux contract as the native path (re-reads its Pillow GIF's frames and
+    remuxes them as MJPEG+PCM .avi), including -shortest truncation."""
+    from mixstage_tpu.animation import animation
+
+    monkeypatch.setattr(animation, "have_ffmpeg", lambda: False)
+    monkeypatch.setenv("MIXSTAGE_RENDER_BACKEND", "matplotlib")
+    raw = tmp_path / "data" / "raw" / "oliver_cropped"
+    raw.mkdir(parents=True)
+    pcm = _tone(1.2)  # video wants 2 s -> -shortest keeps 6 of 10 frames
+    with wave.open(str(raw / "audio_11.wav"), "wb") as f:
+        f.setnchannels(1), f.setsampwidth(2), f.setframerate(SR)
+        f.writeframes(pcm.tobytes())
+
+    class FakeData:
+        path2data = str(tmp_path / "data")
+
+        def getSpeaker(self, interval_id):
+            return "oliver"
+
+    T = 10
+    y = np.cumsum(np.random.default_rng(3).normal(size=(T, 2, 52)), 0) * 10
+    out = animation.animate(y, "11", PARENTS, str(tmp_path), "test",
+                            FakeData(), 0.0, None, None, None, fps=FPS)
+    assert out.endswith(".avi")
+    info = parse_avi(out)
+    assert info["pcm"] == pcm.tobytes()
+    assert len(info["frames"]) == int(round(pcm.size / SR * FPS))
+    assert not list((tmp_path / "render" / "test" / "oliver").glob("*temp*"))
+
+
 def test_get_audio_file_prefers_decodable_source(tmp_path, monkeypatch):
     """mp3 + wav both on disk: mp3 wins with ffmpeg (reference dataset ships
     mp3 — animation.py:274-283), wav wins without (stdlib can't decode mp3)."""
