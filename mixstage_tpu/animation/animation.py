@@ -205,8 +205,18 @@ def animate(ys, interval_id, parents, dir_name, desc, data, start, end, idx,
 
             filename = filename.with_suffix(".avi")
             w = AviWriter(filename.as_posix(), fps=fps)
-            w.add(np.stack(_gif_frames(filename_temp.as_posix(), fps)
-                           [:n_keep]))
+            # stream the decoded frames in bounded chunks (the native path
+            # renders 64 frames at a time for the same reason: a reference-
+            # scale 375-frame pred+GT clip is ~0.3 GB as one (T,H,W,3) stack)
+            chunk = []
+            for arr in _gif_frames(filename_temp.as_posix(), fps,
+                                   limit=n_keep):
+                chunk.append(arr)
+                if len(chunk) == 64:
+                    w.add(np.stack(chunk))
+                    chunk = []
+            if chunk:
+                w.add(np.stack(chunk))
             w.set_audio(clip, sr)
             w.close()
             filename_temp.unlink()
@@ -247,14 +257,15 @@ def _ffmpeg_free_mux_plan(data, interval_id, start, end, n_frames, fps):
     return clip, sr, n_keep
 
 
-def _gif_frames(path: str, fps: int):
-    """Decode a GIF back into constant-fps RGB frames.  PIL merges identical
-    consecutive frames into one longer-duration frame, so each stored frame
-    is repeated ``round(duration * fps)`` times to reconstruct the original
-    constant-rate sequence."""
+def _gif_frames(path: str, fps: int, limit=None):
+    """Yield a GIF's frames back as constant-fps RGB arrays (at most
+    ``limit``).  PIL merges identical consecutive frames into one longer-
+    duration frame, so each stored frame is repeated ``round(duration*fps)``
+    times to reconstruct the original constant-rate sequence.  A generator so
+    the AVI remux never materializes the whole clip at once."""
     from PIL import Image, ImageSequence
 
-    frames = []
+    n = 0
     with Image.open(path) as im:
         for frame in ImageSequence.Iterator(im):
             rgba = frame.convert("RGBA")
@@ -262,8 +273,11 @@ def _gif_frames(path: str, fps: int):
             arr = np.asarray(Image.alpha_composite(bg, rgba).convert("RGB"))
             repeats = max(1, int(round(
                 frame.info.get("duration", 1000 / fps) / 1000 * fps)))
-            frames.extend([arr] * repeats)
-    return frames
+            for _ in range(repeats):
+                if limit is not None and n >= limit:
+                    return
+                yield arr
+                n += 1
 
 
 def _animate_native(ys, filename, filename_temp, parents, data, interval_id,

@@ -27,23 +27,17 @@ def _calib_windows(trainer, n_batches: int, batch_size: int = 8):
 
     Static activation scales clip everything above the calibration maxima,
     so the sample should cover the activation distribution — a single
-    2-sample peek under-estimates per-layer maxima (ADVICE r3)."""
+    2-sample peek under-estimates per-layer maxima (ADVICE r3).  The loader
+    iteration itself is ``Trainer.peek_batches`` (one copy, shared with
+    model init)."""
     import numpy as np
 
     xs, stys = [], []
-    for loader in (trainer.data_train, trainer.data_dev, trainer.data_test):
-        for batch in loader.iter_all(batch_size=batch_size):
-            cb = trainer.get_processed_batch(batch)[0]
-            xs.append(np.asarray(cb["x"][0], np.float32))
-            stys.append(np.asarray(cb["style"][:, 0], np.int32)
-                        if "style" in cb
-                        else np.zeros((cb["x"][0].shape[0],), np.int32))
-            if len(xs) >= n_batches:
-                break
-        if len(xs) >= n_batches:
-            break
-    if not xs:
-        raise RuntimeError("dataset is empty — cannot calibrate -serve_int8")
+    for cb in trainer.peek_batches(n_batches, batch_size=batch_size):
+        xs.append(np.asarray(cb["x"][0], np.float32))
+        stys.append(np.asarray(cb["style"][:, 0], np.int32)
+                    if "style" in cb
+                    else np.zeros((cb["x"][0].shape[0],), np.int32))
     return np.concatenate(xs), np.concatenate(stys)
 
 
@@ -122,7 +116,8 @@ def loop(args: Config, exp_num: int):
     service = PoseService(batcher, backend=jax.default_backend(),
                           num_styles=num_styles,
                           waveform_batcher=wav_batcher, frames=frames,
-                          mel_bins=mel_bins, static_frames=static_frames)
+                          mel_bins=mel_bins, static_frames=static_frames,
+                          max_frames=int(args.serve_max_frames or 4096))
     port = int(args.serve_port or 8008)
     server = start_http_server(service, port=port, host="0.0.0.0")
     print(f"serving on :{server.server_address[1]} "

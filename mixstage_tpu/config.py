@@ -186,6 +186,10 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("serve_max_queue", int, 0,
      "serving queue bound before requests shed with HTTP 429 "
      "(0 = 4x the static batch size)"),
+    ("serve_max_frames", int, 4096,
+     "per-request frame cap for cli.serve (longer audio → HTTP 400; "
+     "bounds the pow-2 bucket set, i.e. the number of compiled shapes, "
+     "and the padded device batch size — use streaming for long inputs)"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

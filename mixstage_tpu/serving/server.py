@@ -49,6 +49,26 @@ class Overloaded(RuntimeError):
     (load shedding — the HTTP layer maps this to 429)."""
 
 
+def _style_form(style):
+    """Normalize a request's style into one of the two legal forms: a scalar
+    integer id (``int``) or a 1-D float32 mixture-weight vector.  The SINGLE
+    copy of this contract — both ``DynamicBatcher.submit`` (defense in depth
+    for library users) and ``PoseService._style`` (which layers the
+    ``num_styles`` range/one-hot logic on top) call it, so the two can never
+    drift.  Raises ``ValueError`` (→ HTTP 400) on anything else."""
+    arr = np.asarray(style)
+    if arr.ndim == 0:
+        if float(arr) != int(arr):
+            raise ValueError(
+                f"scalar style must be an integer id, got {float(arr)} "
+                f"(send a weight VECTOR for soft mixtures)")
+        return int(arr)
+    if arr.ndim != 1:
+        raise ValueError(f"style must be a scalar id or a 1-D mixture "
+                         f"weight vector, got shape {arr.shape}")
+    return arr.astype(np.float32)
+
+
 class DynamicBatcher:
     """Gather single requests into static-shape device batches.
 
@@ -109,16 +129,7 @@ class DynamicBatcher:
                 raise ValueError(
                     f"audio shape {audio.shape} does not match the serving "
                     f"graph's expected {self.input_shape} (None = any)")
-        style = np.asarray(style)
-        if style.ndim == 0:
-            if float(style) != int(style):
-                raise ValueError(
-                    f"scalar style must be an integer id, got {float(style)} "
-                    f"(send a weight VECTOR for soft mixtures)")
-            style = int(style)
-        elif style.ndim != 1:
-            raise ValueError(f"style must be a scalar id or a 1-D mixture "
-                             f"weight vector, got shape {style.shape}")
+        style = _style_form(style)
         # backpressure covers BOTH buffers: the queue proper and the
         # stragglers parked in _pending by shape-grouped drains — otherwise
         # mixed-shape floods would grow _pending without ever shedding
@@ -248,7 +259,9 @@ class PoseService:
                  frames: int = 64, stream_idle_s: float = 300.0,
                  mel_bins: Optional[int] = None,
                  static_frames: Optional[int] = None,
-                 max_streams: int = 64):
+                 max_streams: int = 64,
+                 max_frames: int = 4096,
+                 max_body_bytes: int = 64 * 2 ** 20):
         self.batcher = batcher
         self.backend = backend
         self.timeout_s = timeout_s
@@ -265,6 +278,16 @@ class PoseService:
         self.frames = int(frames)
         self.stream_idle_s = stream_idle_s
         self.max_streams = int(max_streams)  # abandoned-session memory bound
+        # availability bounds: _bucket pads ANY length to the next power of
+        # two and every new bucket is a fresh (20-60 s remote) compile, so an
+        # uncapped well-formed request could stall the single batcher worker
+        # behind a million-frame graph.  max_frames caps the request length
+        # (→ a handful of buckets total); the waveform cap is its sample
+        # equivalent at the log_mel_400 frontend's 160-sample hop.
+        self.max_frames = int(max_frames)
+        self.max_wave_samples = self.max_frames * 160
+        # HTTP body cap, enforced BEFORE the body is read (→ 413)
+        self.max_body_bytes = int(max_body_bytes)
         self._streams: dict = {}
         self._streams_lock = threading.Lock()
 
@@ -277,26 +300,18 @@ class PoseService:
         return self.batcher
 
     def _style(self, style):
-        arr = np.asarray(style)
-        if arr.ndim == 0:
-            if float(arr) != int(arr):
-                raise ValueError(
-                    f"scalar style must be an integer id, got {float(arr)} "
-                    f"(send a weight VECTOR for soft mixtures)")
-            sid = int(arr)
+        sty = _style_form(style)
+        if isinstance(sty, int):
             if self.num_styles is None:
-                return sid
-            if not 0 <= sid < self.num_styles:
-                raise ValueError(f"style id {sid} out of range "
+                return sty
+            if not 0 <= sty < self.num_styles:
+                raise ValueError(f"style id {sty} out of range "
                                  f"[0, {self.num_styles})")
-            return np.eye(self.num_styles, dtype=np.float32)[sid]
-        if arr.ndim != 1:
-            raise ValueError(f"style must be a scalar id or a 1-D mixture "
-                             f"weight vector, got shape {arr.shape}")
-        if self.num_styles is not None and arr.shape != (self.num_styles,):
+            return np.eye(self.num_styles, dtype=np.float32)[sty]
+        if self.num_styles is not None and sty.shape != (self.num_styles,):
             raise ValueError(f"style mixture must have {self.num_styles} "
-                             f"weights, got shape {arr.shape}")
-        return arr.astype(np.float32)
+                             f"weights, got shape {sty.shape}")
+        return sty
 
     def _audio(self, audio, waveform: bool = False) -> np.ndarray:
         """Validate a request's audio against the endpoint contract; raises
@@ -307,10 +322,21 @@ class PoseService:
             if arr.ndim != 1:
                 raise ValueError(f"waveform endpoint expects a 1-D 16kHz "
                                  f"sample array, got shape {arr.shape}")
+            if arr.shape[0] > self.max_wave_samples:
+                raise ValueError(
+                    f"waveform has {arr.shape[0]} samples, over this "
+                    f"server's cap of {self.max_wave_samples} "
+                    f"(~{self.max_frames} frames); split the request or "
+                    f"use the streaming endpoint")
             return arr
         if arr.ndim != 2:
             raise ValueError(f"audio must be a (frames, mel) matrix, got "
                              f"shape {arr.shape}")
+        if arr.shape[0] > self.max_frames:
+            raise ValueError(
+                f"audio has {arr.shape[0]} frames, over this server's cap "
+                f"of {self.max_frames}; split the request or use the "
+                f"streaming endpoint")
         if self.mel_bins is not None and arr.shape[1] != self.mel_bins:
             raise ValueError(f"audio has {arr.shape[1]} mel bins, the model "
                              f"expects {self.mel_bins}")
@@ -488,7 +514,17 @@ def _make_handler(service: PoseService):
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                length = -1
+            if not 0 <= length <= service.max_body_bytes:
+                # refuse BEFORE reading: an uncapped body could exhaust host
+                # memory regardless of what the payload validators say later
+                self._send_json(413, {
+                    "error": f"request body of {length} bytes exceeds the "
+                             f"{service.max_body_bytes}-byte cap"})
+                return
             body = self.rfile.read(length)
             parts = self.path.strip("/").split("/")
             try:

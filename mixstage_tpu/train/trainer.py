@@ -216,11 +216,23 @@ class Trainer:
         self.weight_counter: Dict[int, int] = {}
 
     # ------------------------------------------------------------------ data
-    def _peek_batch(self):
+    def peek_batches(self, n_batches: int = 1, batch_size: int = 2):
+        """First ``n_batches`` processed step-batches drawn across the
+        train/dev/test loaders — the single copy of the "peek real data"
+        iteration used by model init (``_peek_batch``) and the ``-serve_int8``
+        activation calibration (``cli/serve.py``)."""
+        out = []
         for loader in (self.data_train, self.data_dev, self.data_test):
-            for batch in loader.iter_all(batch_size=2):
-                return self.get_processed_batch(batch)[0]
-        raise RuntimeError("dataset is empty")
+            for batch in loader.iter_all(batch_size=batch_size):
+                out.append(self.get_processed_batch(batch)[0])
+                if len(out) >= n_batches:
+                    return out
+        if not out:
+            raise RuntimeError("dataset is empty")
+        return out
+
+    def _peek_batch(self):
+        return self.peek_batches(1, batch_size=2)[0]
 
     def get_processed_batch(self, batch):
         """Numpy batch → jitted-step batch (trainer.py:851-863 + cluster/style

@@ -692,3 +692,72 @@ def test_http_concurrent_streams_share_device_batches():
         np.testing.assert_allclose(outs[i][0, 0], expect_first, rtol=1e-5)
     server.shutdown()
     b.close()
+
+
+def test_request_size_bounds_cap_frames_and_body():
+    """Availability bounds: a WELL-FORMED but huge request must be refused
+    up front (HTTP 400/413), not padded to a fresh pow-2 bucket whose remote
+    compile stalls the single batcher worker for everyone (self-review r4).
+    The server stays alive for the next valid request."""
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=4, max_wait_ms=2.0)
+    service = PoseService(b, backend="test", mel_bins=MEL, frames=T_MEL,
+                          max_frames=32, max_body_bytes=4096)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        # 1) over the frame cap → 400 naming the cap, nothing reaches device
+        big = np.zeros((64, MEL), np.float32).tolist()
+        req = urllib.request.Request(
+            base + "/v1/pose",
+            data=json.dumps({"audio": big, "style": 0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+        assert "cap" in json.loads(e.value.read())["error"]
+        assert not calls  # never dispatched
+
+        # 2) over the byte cap → 413 BEFORE the body is parsed
+        req = urllib.request.Request(
+            base + "/v1/pose", data=b"x" * 8192,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 413
+
+        # 3) the server is still healthy: a valid request succeeds
+        ok = urllib.request.Request(
+            base + "/v1/pose",
+            data=json.dumps({"audio": np.ones((T_MEL, MEL)).tolist(),
+                             "style": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(ok, timeout=10).read())
+        np.testing.assert_allclose(np.asarray(out["pose"])[:, 0],
+                                   MEL + 1000.0)
+
+        # waveform endpoint cap = frames * the log_mel_400 160-sample hop
+        with pytest.raises(ValueError, match="cap"):
+            service._audio(np.zeros(32 * 160 + 1, np.float32), waveform=True)
+    finally:
+        server.shutdown()
+        b.close()
+
+
+def test_style_contract_is_one_copy():
+    """The batcher's submit-time style contract and PoseService._style go
+    through the same _style_form — both reject a float scalar with the same
+    message (self-review r4: duplicated validators drift)."""
+    calls = []
+    b = DynamicBatcher(fake_serve(calls), batch_size=2, max_wait_ms=1.0)
+    service = PoseService(b, backend="test")
+    try:
+        with pytest.raises(ValueError, match="integer id") as e1:
+            b.submit(np.zeros((T_MEL, MEL), np.float32), 0.5)
+        with pytest.raises(ValueError, match="integer id") as e2:
+            service._style(0.5)
+        assert str(e1.value) == str(e2.value)
+        with pytest.raises(ValueError, match="1-D"):
+            service._style(np.zeros((2, 2)))
+    finally:
+        b.close()
