@@ -49,15 +49,25 @@ def render_table(bench_path: Path) -> str:
     ]
     k64 = ex.get("scan_k64_bf16_frames_per_sec_per_chip")
     if k64:
+        mfu64 = ex.get("train_mfu_bf16_scan64_vs_bf16_peak")
+        note = f" (MFU {mfu64:.1%} vs bf16 peak)" if mfu64 else ""
         rows.append(("GAN train bs32, bf16, fused scan k=64",
-                     fmt_fps(k64), vs(k64)))
+                     fmt_fps(k64) + note, vs(k64)))
+    for bs in (64, 128):
+        kbs = ex.get(f"scan_k64_bf16_bs{bs}_frames_per_sec_per_chip")
+        if kbs:
+            mbs = ex.get(f"scan_k64_bf16_bs{bs}_mfu_vs_bf16_peak")
+            note = f" (MFU {mbs:.1%} vs bf16 peak)" if mbs else ""
+            rows.append((f"GAN train bs{bs}, bf16, fused scan k=64",
+                         fmt_fps(kbs) + note, "—"))
     kf = ex.get("scan_k64_bf16_fused_decoder_frames_per_sec_per_chip")
     if kf:
         rows.append(("GAN train bs32, bf16, scan k=64 + Pallas fused decoder",
                      fmt_fps(kf), vs(kf)))
     k16 = ex.get("scan_k16_f32_frames_per_sec_per_chip")
     if k16:
-        mfu = ex.get("train_mfu_vs_bf16_peak")
+        mfu = (ex.get("train_mfu_f32_scan16_vs_bf16_peak")
+               or ex.get("train_mfu_vs_bf16_peak"))  # pre-r5 key
         note = f" (MFU {mfu:.1%} vs bf16 peak)" if mfu else ""
         rows.append(("GAN train bs32, f32, fused scan k=16",
                      fmt_fps(k16) + note, vs(k16)))
@@ -131,6 +141,25 @@ def render_table(bench_path: Path) -> str:
                   f"D step {df} GFLOP at bs32"
                   + (f"; serving {ex['serving_bs32_gflops']} GFLOP/call."
                      if ex.get("serving_bs32_gflops") else ".")]
+    if ex.get("serving_bs32_spread") is not None:
+        deg = ex.get("session_degraded")
+        lines += ["",
+                  f"Variance: transport-sensitive sections are medians of "
+                  f"≥{ex.get('serving_bs32_repeats', 3)} repeats "
+                  f"(serving f32 spread {ex['serving_bs32_spread']:.1%}, "
+                  f"per-step train spread "
+                  f"{ex.get('per_step_train_spread', 0):.1%}); tunnel "
+                  f"session {'DEGRADED' if deg else 'healthy'} by the RTT "
+                  f"canary."]
+    elif ex.get("session_degraded"):
+        # pre-r5 artifact with no per-section repeats: the only honest
+        # annotation is the canary itself
+        lines += ["",
+                  "⚠ The tunnel session was DEGRADED for this run (RTT "
+                  f"canary {ex.get('session_rtt_ms_end', '?')} ms/sync vs "
+                  "~3–7 healthy): per-call sections (serving, per-step "
+                  "train, device p50) understate the chip; scan-driver "
+                  "numbers (the headline) are transport-insensitive."]
     lines.append("<!-- BENCH:END -->")
     return "\n".join(lines)
 

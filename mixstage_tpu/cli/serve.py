@@ -117,7 +117,10 @@ def loop(args: Config, exp_num: int):
                           num_styles=num_styles,
                           waveform_batcher=wav_batcher, frames=frames,
                           mel_bins=mel_bins, static_frames=static_frames,
-                          max_frames=int(args.serve_max_frames or 4096))
+                          # 0/unset falls back to the 4096 default by
+                          # contract (config.py flag help): the cap bounds
+                          # the compiled-bucket set and cannot be disabled
+                          max_frames=int(args.serve_max_frames or 0) or 4096)
     port = int(args.serve_port or 8008)
     server = start_http_server(service, port=port, host="0.0.0.0")
     print(f"serving on :{server.server_address[1]} "

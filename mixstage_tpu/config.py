@@ -189,7 +189,9 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
     ("serve_max_frames", int, 4096,
      "per-request frame cap for cli.serve (longer audio → HTTP 400; "
      "bounds the pow-2 bucket set, i.e. the number of compiled shapes, "
-     "and the padded device batch size — use streaming for long inputs)"),
+     "and the padded device batch size — use streaming for long inputs). "
+     "0 means the 4096 default; the cap cannot be disabled, because an "
+     "uncapped request length would reopen the unbounded-compile stall"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

@@ -43,6 +43,8 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
+from mixstage_tpu.ops.bucketing import pow2_pad
+
 
 class Overloaded(RuntimeError):
     """Raised by ``DynamicBatcher.submit`` when the request queue is full
@@ -355,19 +357,14 @@ class PoseService:
         every distinct T is a separate (expensive) remote compile — pow-2
         bucketing makes arbitrary-length requests both valid and cheap
         (≤ a handful of compiled shapes), and same-bucket requests batch
-        together.  Static-frame (AOT) servers validate instead of pad."""
+        together.  Static-frame (AOT) servers validate instead of pad.
+        The bucket choice + pad fill are ops.bucketing.pow2_pad — the SAME
+        function the sampling path uses (VERDICT r4 item 7: one copy)."""
         if waveform or self.static_frames is not None:
             return audio, None
-        T = audio.shape[0]
-        if T < 1:
+        if audio.shape[0] < 1:
             raise ValueError("audio must have at least 1 frame")
-        bucket = max(int(self.frames), 1)
-        while bucket < T:
-            bucket *= 2
-        if bucket == T:
-            return audio, None
-        pad = np.repeat(audio[-1:], bucket - T, axis=0)
-        return np.concatenate([audio, pad]), T
+        return pow2_pad(audio, floor=self.frames)
 
     def infer_json(self, payload: dict, waveform: bool = False) -> dict:
         if "audio" not in payload:
@@ -513,17 +510,54 @@ def _make_handler(service: PoseService):
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 
-        def do_POST(self):
+        def _drain(self, length: int):
+            """Discard a refused request body in bounded chunks so the
+            client's upload completes and it can read the error response
+            (an early close mid-upload surfaces as EPIPE client-side, not
+            the 413).  Bounded: a body declared over 4x the cap is not
+            worth the bandwidth — close instead.  Either way keep-alive is
+            off when bytes may remain unread (they would be parsed as the
+            next request's start otherwise)."""
+            drain_cap = 4 * service.max_body_bytes
+            if length > drain_cap:
+                self.close_connection = True
+                return
+            left = length
             try:
-                length = int(self.headers.get("Content-Length", 0))
+                while left > 0:
+                    chunk = self.rfile.read(min(left, 64 * 1024))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
+            except OSError:
+                pass
+            if left:
+                self.close_connection = True
+
+        def do_POST(self):
+            raw_length = self.headers.get("Content-Length", 0)
+            try:
+                length = int(raw_length)
             except ValueError:
                 length = -1
-            if not 0 <= length <= service.max_body_bytes:
-                # refuse BEFORE reading: an uncapped body could exhaust host
-                # memory regardless of what the payload validators say later
+            if length < 0:
+                # a malformed/negative Content-Length is a client syntax
+                # error (400), not an oversize body (413) — ADVICE r4; no
+                # trustworthy length to drain by, so the connection closes
+                self.close_connection = True
+                self._send_json(400, {
+                    "error": f"malformed Content-Length header "
+                             f"{raw_length!r}"})
+                return
+            if length > service.max_body_bytes:
+                # refuse BEFORE reading into memory: an uncapped body could
+                # exhaust the host regardless of later payload validators —
+                # but DRAIN (bounded, discarded) after responding so the
+                # client reliably sees the 413 rather than a broken pipe
                 self._send_json(413, {
                     "error": f"request body of {length} bytes exceeds the "
                              f"{service.max_body_bytes}-byte cap"})
+                self._drain(length)
                 return
             body = self.rfile.read(length)
             parts = self.path.strip("/").split("/")
@@ -572,8 +606,15 @@ def start_http_server(service: PoseService, port: int = 0,
                       host: str = "127.0.0.1"):
     """Start the HTTP front door on a daemon thread; returns the server
     (``server.server_address[1]`` is the bound port — pass ``port=0`` for an
-    ephemeral one)."""
-    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    ephemeral one).
+
+    The TCP accept backlog is raised from socketserver's default of 5: a
+    burst of concurrent clients beyond the backlog gets kernel-level RSTs
+    before the application can answer 429 — overload must surface as the
+    batcher's explicit shed, not as connection resets."""
+    srv_cls = type("PoseHTTPServer", (ThreadingHTTPServer,),
+                   {"request_queue_size": 128})
+    server = srv_cls((host, port), _make_handler(service))
     thread = threading.Thread(target=server.serve_forever, daemon=True,
                               name="pose-http")
     thread.start()

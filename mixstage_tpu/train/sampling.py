@@ -23,6 +23,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from mixstage_tpu.data.dataset import DataLoader
+from mixstage_tpu.ops.bucketing import next_pow2, pad_repeat_last
 from mixstage_tpu.parallel.parallel import parallel
 
 
@@ -73,16 +74,10 @@ class _MetricWorker:
             raise exc
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
-
-
 def _flatten_windows(step_batch: Dict, pad_to: int) -> Dict:
     """(B, T, ...) windows → one (1, B*T, ...) sequence, padding the window
-    count to ``pad_to`` by repeating the last window."""
+    count to ``pad_to`` by repeating the last window (ops.bucketing: the
+    same bucket-choice + pad-fill pair serving uses — one copy)."""
     out = {}
     for key, val in step_batch.items():
         if key == "x":
@@ -93,10 +88,7 @@ def _flatten_windows(step_batch: Dict, pad_to: int) -> Dict:
 
 
 def _flatten_one(v: np.ndarray, pad_to: int) -> np.ndarray:
-    B = v.shape[0]
-    if pad_to > B:
-        pad = np.repeat(v[-1:], pad_to - B, axis=0)
-        v = np.concatenate([v, pad], axis=0)
+    v = pad_repeat_last(v, pad_to)
     if v.ndim == 3:
         return v.reshape(1, -1, v.shape[-1])
     return v.reshape(1, -1)
@@ -150,7 +142,7 @@ def sample_loop(trainer, desc: str):
                           if k == "x" else np.asarray(val))
                       for k, val in step_batch.items()}
         B, T = y_.shape[0], y_.shape[1]
-        pad_to = _next_pow2(B)
+        pad_to = next_pow2(B)
         flat = _flatten_windows(step_batch, pad_to)
 
         interval_id = batch["meta"]["interval_id"][0]

@@ -701,8 +701,11 @@ def test_request_size_bounds_cap_frames_and_body():
     The server stays alive for the next valid request."""
     calls = []
     b = DynamicBatcher(fake_serve(calls), batch_size=4, max_wait_ms=2.0)
+    # max_body_bytes is GENEROUS (1 MB) so the frame-cap case below exercises
+    # the frame cap alone — a 413 from an accidentally-small body cap would
+    # pass case 1 for the wrong reason (ADVICE r4)
     service = PoseService(b, backend="test", mel_bins=MEL, frames=T_MEL,
-                          max_frames=32, max_body_bytes=4096)
+                          max_frames=32, max_body_bytes=2 ** 20)
     server = start_http_server(service, port=0)
     base = f"http://127.0.0.1:{server.server_address[1]}"
     try:
@@ -720,11 +723,27 @@ def test_request_size_bounds_cap_frames_and_body():
 
         # 2) over the byte cap → 413 BEFORE the body is parsed
         req = urllib.request.Request(
-            base + "/v1/pose", data=b"x" * 8192,
+            base + "/v1/pose", data=b"x" * (2 ** 20 + 1),
             headers={"Content-Type": "application/json"})
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req, timeout=10)
         assert e.value.code == 413
+
+        # 2b) malformed Content-Length is a client SYNTAX error → 400, not
+        # a 413 claiming a "-1 byte body exceeds the cap" (ADVICE r4)
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          server.server_address[1],
+                                          timeout=10)
+        conn.putrequest("POST", "/v1/pose", skip_accept_encoding=True)
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "banana")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+        conn.close()
 
         # 3) the server is still healthy: a valid request succeeds
         ok = urllib.request.Request(
@@ -760,4 +779,237 @@ def test_style_contract_is_one_copy():
         with pytest.raises(ValueError, match="1-D"):
             service._style(np.zeros((2, 2)))
     finally:
+        b.close()
+
+
+# ---------------------------------------------------------------------------
+# sustained-load soak (VERDICT r4 item 3): the class of slow leak the
+# one-shot fuzz/overload/bounds pins structurally cannot catch
+# ---------------------------------------------------------------------------
+
+def _proc_stat():
+    """(rss_bytes, os_thread_count) of this process from /proc."""
+    rss = threads = 0
+    for line in open("/proc/self/status"):
+        if line.startswith("VmRSS:"):
+            rss = int(line.split()[1]) * 1024
+        elif line.startswith("Threads:"):
+            threads = int(line.split()[1])
+    return rss, threads
+
+
+@pytest.mark.slow
+def test_soak_mixed_load_stability():
+    """~60 s of mixed traffic against the REAL HTTP server over a real
+    jitted CPU graph: concurrent pose JSON + npz clients, streaming sessions
+    opening/closing every few seconds (some abandoned), periodic poison and
+    oversized requests.  Asserts the things a server meant to run
+    indefinitely must hold: bounded RSS growth after warm-up, constant OS
+    thread count, stream-session table swept to <= cap, p99 stable between
+    the first and last quarter of the run, and the shed counter moving ONLY
+    under induced overload (VERDICT r4 item 3)."""
+    import gc
+    import io
+    import os
+    import urllib.error
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _kernel(a, s):
+        return a.sum(-1, keepdims=True) + s[:, None, None] * 1000.0
+
+    # slow-mode lets the overload phase reliably back the queue up: a fast
+    # CPU kernel otherwise drains 64 requests before the queue of 8 fills
+    slow = threading.Event()
+
+    def run(audio, style):
+        if slow.is_set():
+            time.sleep(0.05)
+        return np.asarray(_kernel(jnp.asarray(audio), jnp.asarray(style)))
+
+    b = DynamicBatcher(run, batch_size=4, max_wait_ms=2.0, max_queue=8)
+    service = PoseService(b, backend=jax.default_backend(), mel_bins=MEL,
+                          frames=T_MEL, max_frames=64, stream_idle_s=3.0,
+                          max_streams=8, max_body_bytes=2 ** 20)
+    server = start_http_server(service, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    stop = threading.Event()
+    errors: list = []
+    lat: list = []           # (t_monotonic, seconds) of valid pose requests
+    t_start = time.monotonic()
+
+    def post(path, data, headers=None, timeout=15):
+        req = urllib.request.Request(
+            base + path, data=data,
+            headers=headers or {"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    def pose_json_client(i):
+        lens = (T_MEL, T_MEL + 3, 2 * T_MEL)  # two buckets, padded + exact
+        k = 0
+        while not stop.is_set():
+            body = json.dumps({
+                "audio": np.ones((lens[k % 3], MEL), np.float32).tolist(),
+                "style": k % 3}).encode()
+            t0 = time.monotonic()
+            try:
+                out = json.loads(post("/v1/pose", body).read())
+                lat.append((t0 - t_start, time.monotonic() - t0))
+                assert len(out["pose"]) == lens[k % 3]
+            except Exception as e:  # noqa: BLE001
+                errors.append(("pose_json", repr(e)))
+            k += 1
+
+    def pose_npz_client():
+        while not stop.is_set():
+            buf = io.BytesIO()
+            np.savez(buf, audio=np.ones((T_MEL, MEL), np.float32),
+                     style=np.asarray(1))
+            try:
+                raw = post("/v1/pose", buf.getvalue(),
+                           {"Content-Type": "application/octet-stream"}
+                           ).read()
+                assert np.load(io.BytesIO(raw)).shape[0] == T_MEL
+            except Exception as e:  # noqa: BLE001
+                errors.append(("pose_npz", repr(e)))
+            time.sleep(0.05)
+
+    def stream_churn_client():
+        """Open a session, feed a couple of chunks, then finish it — except
+        every 3rd session is ABANDONED so the idle sweep must collect it."""
+        n = 0
+        while not stop.is_set():
+            try:
+                sid = json.loads(post("/v1/stream", json.dumps(
+                    {"style": 0}).encode()).read())["session"]
+                for _ in range(2):
+                    post(f"/v1/stream/{sid}", json.dumps({
+                        "audio": np.ones((T_MEL, MEL),
+                                         np.float32).tolist()}).encode())
+                if n % 3 != 0:
+                    post(f"/v1/stream/{sid}/finish", b"{}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(("stream", repr(e)))
+            n += 1
+            time.sleep(0.4)
+
+    def poison_client():
+        """Garbage + oversized every few hundred ms; every answer must be a
+        clean 4xx — never a 5xx or a hang."""
+        cases = [
+            (b"\xde\xad\xbe\xef not json", None),
+            (json.dumps({"audio": [[1.0] * (MEL + 2)] * T_MEL,
+                         "style": 0}).encode(), None),   # wrong mel width
+            (json.dumps({"audio": np.ones((T_MEL, MEL)).tolist(),
+                         "style": 2.5}).encode(), None),  # float style
+            (b"x" * (2 ** 20 + 1), None),                 # over body cap
+        ]
+        k = 0
+        while not stop.is_set():
+            body, hdr = cases[k % len(cases)]
+            try:
+                post("/v1/pose", body, hdr, timeout=15)
+                errors.append(("poison", "2xx for garbage"))
+            except urllib.error.HTTPError as e:
+                if not 400 <= e.code < 500:
+                    errors.append(("poison", f"HTTP {e.code}"))
+            except Exception as e:  # noqa: BLE001
+                errors.append(("poison", repr(e)))
+            k += 1
+            time.sleep(0.25)
+
+    threads = [threading.Thread(target=pose_json_client, args=(i,))
+               for i in range(3)]
+    threads += [threading.Thread(target=pose_npz_client),
+                threading.Thread(target=stream_churn_client),
+                threading.Thread(target=poison_client)]
+    soak_s = float(os.environ.get("MIXSTAGE_SOAK_SECONDS", "60"))
+    try:
+        for t in threads:
+            t.start()
+        time.sleep(min(10.0, soak_s / 4))  # warm-up: compiles, pools, caches
+        gc.collect()
+        rss0, threads0 = _proc_stat()
+        warm_cut = time.monotonic() - t_start
+        time.sleep(soak_s)
+        stop.set()
+        for t in threads:
+            t.join(30)
+        assert not any(t.is_alive() for t in threads)
+        time.sleep(1.0)  # let per-connection HTTP handler threads exit
+        gc.collect()
+        rss1, threads1 = _proc_stat()
+
+        # no client ever saw a transport error, 5xx, or wrong-shaped answer
+        assert not errors, errors[:10]
+
+        # RSS bounded: a leak of even 1 KB/request would show up here
+        # (thousands of requests in the window)
+        growth = rss1 - rss0
+        print(f"soak: RSS {rss0 / 1e6:.1f} -> {rss1 / 1e6:.1f} MB "
+              f"(growth {growth / 1e6:.2f} MB), OS threads "
+              f"{threads0} -> {threads1}, {len(lat)} pose requests")
+        assert growth < 16 * 2 ** 20, f"RSS grew {growth / 1e6:.1f} MB"
+
+        # OS thread count must not GROW (handler threads are per-connection
+        # and must all have exited; batcher worker + http accept thread
+        # remain).  It may shrink: the warm-up snapshot is taken mid-traffic
+        # with live handler threads.
+        assert threads1 <= threads0 + 2, (threads0, threads1)
+
+        # stream table swept: churn abandoned every 3rd session, yet the
+        # table must sit at <= cap now and drain to 0 once idle passes
+        assert service.stream_count() <= 8
+        time.sleep(3.5)
+        assert service.stream_count() == 0
+
+        # p99 stable: last quarter of the post-warm-up run vs first quarter
+        stable = [(ts, s) for ts, s in lat if ts >= warm_cut]
+        assert len(stable) > 200, f"only {len(stable)} requests — too idle"
+        span = stable[-1][0] - stable[0][0]
+        q1 = [s for ts, s in stable if ts < stable[0][0] + span / 4]
+        q4 = [s for ts, s in stable if ts >= stable[0][0] + 3 * span / 4]
+        p99_1 = float(np.percentile(q1, 99))
+        p99_4 = float(np.percentile(q4, 99))
+        print(f"soak: p99 first quarter {p99_1 * 1e3:.1f} ms, "
+              f"last quarter {p99_4 * 1e3:.1f} ms")
+        assert p99_4 <= max(3 * p99_1, p99_1 + 0.05), (p99_1, p99_4)
+
+        # shed moved ONLY under induced overload
+        assert b.stats()["shed"] == 0, "shed during normal mixed load"
+        burst_errs = []
+
+        def burst(i):
+            body = json.dumps({"audio": np.ones((T_MEL, MEL)).tolist(),
+                               "style": 0}).encode()
+            try:
+                post("/v1/pose", body, timeout=30)
+            except urllib.error.HTTPError as e:
+                burst_errs.append(e.code)
+            except Exception as e:  # noqa: BLE001
+                burst_errs.append(repr(e))
+
+        bts = [threading.Thread(target=burst, args=(i,)) for i in range(64)]
+        slow.set()  # 50 ms/batch so the 64-deep burst outruns the drain
+        try:
+            for t in bts:
+                t.start()
+            for t in bts:
+                t.join(60)
+        finally:
+            slow.clear()
+        assert b.stats()["shed"] > 0, "64-deep burst over a queue of 8 " \
+                                      "never shed"
+        assert all(c == 429 for c in burst_errs), set(burst_errs)
+
+        # and the server still serves after the overload
+        out = json.loads(post("/v1/pose", json.dumps(
+            {"audio": np.ones((T_MEL, MEL)).tolist(),
+             "style": 0}).encode()).read())
+        assert len(out["pose"]) == T_MEL
+    finally:
+        stop.set()
+        server.shutdown()
         b.close()
