@@ -22,6 +22,20 @@ from __future__ import annotations
 from mixstage_tpu.config import Config, argparse_n_loop
 
 
+def resolve_partition(partition, n_dev: int, batch: int):
+    """CLI multi-chip layout resolution (-serve_partition).
+
+    'batch' DP only engages when the static batch divides the device count
+    (otherwise a padded micro-batch could not shard); 'time'/'expert' take
+    the mesh regardless — their sharding does not depend on the batch.
+    Returns (effective_partition, use_mesh); on a single device every
+    partition collapses to the plain single-chip path.
+    """
+    partition = str(partition or "batch")
+    use_mesh = n_dev > 1 and (partition != "batch" or batch % n_dev == 0)
+    return (partition if use_mesh else "batch"), use_mesh
+
+
 def _calib_windows(trainer, n_batches: int, batch_size: int = 8):
     """Pool several real loader windows into one int8 calibration batch.
 
@@ -73,11 +87,14 @@ def loop(args: Config, exp_num: int):
         trainer = Trainer(args, ["exp", "cpk", "speaker", "model", "note"],
                           update)
         batch = int(trainer.args.batch_size or 32)
-        # multi-chip: shard the serving batch over all local devices (weights
-        # replicated, zero collectives — serve.build_serving_fn mesh mode)
+        # multi-chip: -serve_partition picks the layout (batch DP by
+        # default; 'time'/'expert' for shapes batch sharding cannot split —
+        # serve.build_serving_fn partition modes)
         mesh = None
-        n_dev = len(jax.devices())
-        if n_dev > 1 and batch % n_dev == 0:
+        partition, use_mesh = resolve_partition(
+            getattr(trainer.args, "serve_partition", None),
+            len(jax.devices()), batch)
+        if use_mesh:
             from jax.sharding import Mesh
 
             mesh = Mesh(np.array(jax.devices()), ("data",))
@@ -91,7 +108,7 @@ def loop(args: Config, exp_num: int):
             quant_kw = {"quantize_int8": True,
                         "calib": _calib_windows(trainer, n_cal)}
         serve_fn = build_serving_fn(trainer.factory, trainer.state, mesh=mesh,
-                                    **quant_kw)
+                                    partition=partition, **quant_kw)
         num_styles = trainer.factory.cfg.num_speakers
         wait_ms = float(getattr(trainer.args, "serve_wait_ms", None) or 5.0)
 

@@ -192,6 +192,12 @@ _FLAGS: List[Tuple[str, Any, Any, str]] = [
      "and the padded device batch size — use streaming for long inputs). "
      "0 means the 4096 default; the cap cannot be disabled, because an "
      "uncapped request length would reopen the unbounded-compile stall"),
+    ("serve_partition", str, "batch",
+     "multi-chip serving layout (serve.build_serving_fn partition=): "
+     "'batch' = DP shard_map over the batch (default; all tiers); "
+     "'time' = GSPMD sequence parallelism over one clip's time axis "
+     "(latency lever for long single requests; XLA decoder path); "
+     "'expert' = mixture experts sharded with one psum (f32/bf16 only)"),
 ]
 
 _FLAG_NAMES = [f[0] for f in _FLAGS]

@@ -132,7 +132,8 @@ def folded_decoder_xla(x, fd, groups: int, negative_slope: float = 0.2):
 
 def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
                      batch_tile: int = 16, mesh=None,
-                     quantize_int8: bool = False, calib=None):
+                     quantize_int8: bool = False, calib=None,
+                     partition: str = "batch"):
     """Jitted ``(audio (B, T, mel), style_ids (B,)) -> pose (B, T, F)``.
 
     ``quantize_int8=True`` swaps the mixture decoder (the ~52/62 GFLOP hot
@@ -146,15 +147,49 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
     the ~25 MB of folded weights bakes them in as executable constants, which
     costs ~30 ms of per-call sync latency through the device transport.
 
-    ``mesh``: a ``jax.sharding.Mesh`` for multi-chip data-parallel serving —
-    weights replicated, the batch sharded over the mesh's first axis via
-    ``jax.shard_map`` (each chip serves its batch shard; inference is
-    embarrassingly parallel, zero collectives in the graph).  shard_map
-    rather than bare GSPMD because the Pallas decoder kernel is a custom
-    call XLA's partitioner cannot split; under shard_map it runs per-device
-    on the local shard.  The batch size must divide the mesh axis size.
+    ``mesh``: a ``jax.sharding.Mesh`` for multi-chip serving.  ``partition``
+    picks the layout:
+
+    * ``"batch"`` (default, the production tier): weights replicated, the
+      batch sharded over the mesh's first axis via ``jax.shard_map`` (each
+      chip serves its batch shard; inference is embarrassingly parallel,
+      zero collectives in the graph).  shard_map rather than bare GSPMD
+      because the Pallas decoder kernel is a custom call XLA's partitioner
+      cannot split; under shard_map it runs per-device on the local shard.
+      The batch size must divide the mesh axis size.
+    * ``"time"`` (sequence parallelism): ONE long clip's time axis sharded
+      over the mesh — the layout that cuts latency when the work is a
+      single long request (B=1, T up to the 4096-frame serving cap) that
+      batch sharding cannot split.  Pure GSPMD: weights replicated, audio
+      annotated ``P(None, axis)``, XLA inserts the conv halo exchanges
+      (every op in this graph is time-local except the size-3 convs).
+      Requires the XLA decoder path (a Pallas custom call cannot be
+      partitioned over time).
+    * ``"expert"``: the M mixture experts sharded over the mesh axis —
+      serving-side expert parallelism, the same decomposition
+      ``shard_state_mixture`` uses for training EP.  Each chip runs the
+      (replicated) content/style backbone, decodes only its local experts,
+      weighs them with its local slice of the mixture attention, and ONE
+      psum over the axis realizes ``index_select_outputs``'s sum over
+      experts.  Works with the Pallas kernel (it runs per-device on local
+      groups under shard_map).  ``num_clusters`` must divide the axis size;
+      the int8 tier stays batch-partitioned.
     """
     cfg = factory.cfg
+    if partition not in ("batch", "time", "expert"):
+        raise ValueError(f"unknown partition {partition!r}; expected "
+                         "'batch', 'time' or 'expert'")
+    if partition != "batch" and mesh is None:
+        raise ValueError(f"partition={partition!r} needs a mesh")
+    if partition == "time":
+        if use_pallas:
+            raise ValueError(
+                "time partitioning requires the XLA decoder path: a Pallas "
+                "custom call cannot be partitioned over its time axis")
+        use_pallas = False
+    if partition == "expert" and quantize_int8:
+        raise ValueError("the int8 tier is batch-partitioned only (its "
+                         "per-channel scale layout is not expert-sliced)")
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     gen_params = jax.device_put(state.g_params["gen"])
@@ -195,13 +230,14 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
     G = cfg.num_clusters
     C0p = fd["w0_i8" if quantize_int8 else "w0"].shape[2]
 
-    def serve_body(gen_params, gen_bstats, fd, fc, audio, style_w):
-        B, T = audio.shape[0], audio.shape[1]
+    def _features_soft(gen_params, gen_bstats, fc, audio, style_w):
+        """Content+style features and the (B, T, G) mixture attention."""
+        T = audio.shape[1]
         # style_w: (B, num_speakers) mixture weights — a one-hot row is the
         # hard-id case; soft rows give online style mixtures (the reference's
         # -mix semantics, argsUtils/-mix + EmbLin 'lin' mode)
         sw = style_w[:, None, :].repeat(T, axis=1)
-        y_dummy = jnp.zeros((B, T, cfg.out_feats), audio.dtype)
+        y_dummy = jnp.zeros(audio.shape[:2] + (cfg.out_feats,), audio.dtype)
         variables = {"params": gen_params, "batch_stats": gen_bstats}
         common = dict(input_modalities=list(cfg.input_modalities),
                       use_pose_input=False, train=False)
@@ -215,28 +251,38 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
                 xp, fc["w0"], fc["wc"], fc["biases"], fc["w_logits"],
                 fc["b_logits"], groups=1, batch_tile=batch_tile)
             soft = jax.nn.softmax(scores, axis=-1)
-            if quantize_int8:
-                from mixstage_tpu.ops.pallas.quant import \
-                    fused_mixstage_decoder_int8
-                logits = fused_mixstage_decoder_int8(
-                    xp, fd["w0_i8"], fd["wc_i8"], fd["m0"], fd["mc"],
-                    fd["rq"], fd["biases"], fd["wl_i8"], fd["ml"],
-                    fd["b_logits"], s_in=s_in, groups=G,
-                    batch_tile=batch_tile).astype(audio.dtype)
-            else:
-                logits = fused_mixstage_decoder(
-                    xp, fd["w0"], fd["wc"], fd["biases"], fd["w_logits"],
-                    fd["b_logits"], groups=G, batch_tile=batch_tile)
         else:
             x, _, soft = factory.gen.apply(variables, [audio], y_dummy, sw,
                                            method="backbone", **common)
+            xp = (jnp.pad(x, ((0, 0), (0, 0), (0, C0p - x.shape[-1])))
+                  if quantize_int8 else None)
+        return x, xp, soft
+
+    def _decode(x, xp, fd, groups):
+        """Grouped decoder logits (B, T, groups*F) for ``groups`` experts —
+        the full G, or a local shard under expert partitioning."""
+        if use_pallas:
             if quantize_int8:
-                from mixstage_tpu.ops.pallas.quant import decoder_int8_xla
-                xp = jnp.pad(x, ((0, 0), (0, 0), (0, C0p - x.shape[-1])))
-                logits = decoder_int8_xla(
-                    xp, {**fd, "s_in": s_in}, G).astype(audio.dtype)
-            else:
-                logits = folded_decoder_xla(x, {**fd, "c0": c0}, G)
+                from mixstage_tpu.ops.pallas.quant import \
+                    fused_mixstage_decoder_int8
+                return fused_mixstage_decoder_int8(
+                    xp, fd["w0_i8"], fd["wc_i8"], fd["m0"], fd["mc"],
+                    fd["rq"], fd["biases"], fd["wl_i8"], fd["ml"],
+                    fd["b_logits"], s_in=s_in, groups=groups,
+                    batch_tile=batch_tile).astype(x.dtype)
+            return fused_mixstage_decoder(
+                xp, fd["w0"], fd["wc"], fd["biases"], fd["w_logits"],
+                fd["b_logits"], groups=groups, batch_tile=batch_tile)
+        if quantize_int8:
+            from mixstage_tpu.ops.pallas.quant import decoder_int8_xla
+            return decoder_int8_xla(
+                xp, {**fd, "s_in": s_in}, groups).astype(x.dtype)
+        return folded_decoder_xla(x, {**fd, "c0": c0}, groups)
+
+    def serve_body(gen_params, gen_bstats, fd, fc, audio, style_w):
+        x, xp, soft = _features_soft(gen_params, gen_bstats, fc, audio,
+                                     style_w)
+        logits = _decode(x, xp, fd, G)
         return index_select_outputs(logits, soft, G)
 
     def _style_weights(style, audio):
@@ -259,19 +305,74 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
         axis = mesh.axis_names[0]
         n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
         repl = NamedSharding(mesh, P())
-        gen_params, gen_bstats, fd, fc = jax.device_put(
-            (gen_params, gen_bstats, fd, fc), repl)
-        serve = jax.jit(jax.shard_map(
-            serve_body, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
-            out_specs=P(axis)))
+        if partition == "batch":
+            gen_params, gen_bstats, fd, fc = jax.device_put(
+                (gen_params, gen_bstats, fd, fc), repl)
+            serve = jax.jit(jax.shard_map(
+                serve_body, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
+                out_specs=P(axis)))
 
-        def fn(audio, style_ids):
-            assert audio.shape[0] % n == 0, (
-                f"DP serving: batch {audio.shape[0]} must divide the "
-                f"{n}-device '{axis}' mesh axis")
-            return serve(gen_params, gen_bstats, fd, fc, audio,
-                         _style_weights(style_ids, audio))
+            def fn(audio, style_ids):
+                assert audio.shape[0] % n == 0, (
+                    f"DP serving: batch {audio.shape[0]} must divide the "
+                    f"{n}-device '{axis}' mesh axis")
+                return serve(gen_params, gen_bstats, fd, fc, audio,
+                             _style_weights(style_ids, audio))
+        elif partition == "time":
+            # GSPMD sequence parallelism: annotate the clip's time axis over
+            # the mesh and let XLA insert the size-3-conv halo exchanges —
+            # semantics-preserving by construction, so the output matches
+            # the single-device graph.
+            gen_params, gen_bstats, fd, fc = jax.device_put(
+                (gen_params, gen_bstats, fd, fc), repl)
+            shard_t = NamedSharding(mesh, P(None, axis))
+            serve = jax.jit(
+                serve_body,
+                in_shardings=(repl, repl, repl, repl, shard_t, repl),
+                out_shardings=shard_t)
+
+            def fn(audio, style_ids):
+                return serve(gen_params, gen_bstats, fd, fc, audio,
+                             _style_weights(style_ids, audio))
+        else:  # partition == "expert"
+            if G % n:
+                raise ValueError(
+                    f"expert serving: num_clusters {G} must divide the "
+                    f"{n}-device '{axis}' mesh axis")
+
+            def serve_body_ep(gen_params, gen_bstats, fd, fc, audio,
+                              style_w):
+                # shard_map body: fd arrives pre-split on its expert axis.
+                # Every device runs the replicated backbone, decodes only
+                # its local experts, weighs them with its local slice of
+                # the mixture attention, and the psum over the expert axis
+                # IS index_select_outputs' sum over experts.
+                x, xp, soft = _features_soft(gen_params, gen_bstats, fc,
+                                             audio, style_w)
+                g_local = fd["w0"].shape[0]
+                start = jax.lax.axis_index(axis) * g_local
+                soft_local = jax.lax.dynamic_slice_in_dim(
+                    soft, start, g_local, axis=-1)
+                partial = index_select_outputs(
+                    _decode(x, xp, fd, g_local), soft_local, g_local)
+                return jax.lax.psum(partial, axis)
+
+            fd_specs = {"w0": P(axis), "wc": P(None, axis),
+                        "biases": P(axis), "w_logits": P(axis),
+                        "b_logits": P(axis)}
+            fd = {k: jax.device_put(v, NamedSharding(mesh, fd_specs[k]))
+                  for k, v in fd.items()}
+            gen_params, gen_bstats, fc = jax.device_put(
+                (gen_params, gen_bstats, fc), repl)
+            serve = jax.jit(jax.shard_map(
+                serve_body_ep, mesh=mesh,
+                in_specs=(P(), P(), fd_specs, P(), P(), P()),
+                out_specs=P()))
+
+            def fn(audio, style_ids):
+                return serve(gen_params, gen_bstats, fd, fc, audio,
+                             _style_weights(style_ids, audio))
 
     # expose the jitted inner fn + bound weights for cost analysis (bench.py);
     # the inner body takes (B, S) style WEIGHTS — style_weights converts ids

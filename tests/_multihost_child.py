@@ -62,14 +62,30 @@ def ganstep(num_processes: int, pid: int, port: str):
                  lambda x: P("data") if x.ndim and x.shape[0] % 8 == 0
                  else P())
     steps = factory.make_steps()
-    state, losses_g, _ = steps["g"](state, gbatch, jax.random.key(1),
-                                    use_pose_input=False)
     batch2 = jax.tree.map(np.asarray, ge._example_batch(B=B, seed=1))
     gbatch2 = put(batch2,
                   lambda x: P("data") if x.ndim and x.shape[0] % 8 == 0
                   else P())
-    state, losses_d, _ = steps["d"](state, gbatch2, jax.random.key(2),
-                                    use_pose_input=False)
+    # AOT-compile BOTH steps, then meet at a coordination-service barrier
+    # before the first execution: Gloo's cross-process context rendezvous
+    # has a fixed 30 s deadline counted from the first arriver, and on a
+    # 1-core host two children compiling minutes of XLA can skew past it
+    # (observed 2026-08-20: child 0 parked at the first collective while
+    # child 1 still compiled → DEADLINE_EXCEEDED).  The barrier rides the
+    # coordination service, NOT a device collective, so it cannot itself
+    # hit the Gloo deadline; executing the pre-compiled executables keeps
+    # the two processes' first collective within milliseconds.
+    g_c = steps["g"].lower(state, gbatch, jax.random.key(1),
+                           use_pose_input=False).compile()
+    d_c = steps["d"].lower(state, gbatch2, jax.random.key(2),
+                           use_pose_input=False).compile()
+    if num_processes > 1:
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(
+            "ganstep_compiled", 480_000)
+    state, losses_g, _ = g_c(state, gbatch, jax.random.key(1))
+    state, losses_d, _ = d_c(state, gbatch2, jax.random.key(2))
     g, d = float(losses_g["total"]), float(losses_d["total"])
     assert np.isfinite(g) and np.isfinite(d)
     print(f"MULTIHOST_GANSTEP pid={pid} procs={num_processes} "

@@ -202,3 +202,82 @@ def test_dp_serving_matches_single_device():
     # non-divisible batch rejected loudly, not silently mis-sharded
     with pytest.raises(AssertionError, match="must divide"):
         serve8(audio[:3], styles[:3])
+
+
+def _serving_fixture(num_clusters=4, B=4, T=128, seed=0):
+    """Small trained-shape model + batch for the partitioned-serving tests."""
+    from mixstage_tpu.serve import build_serving_fn
+
+    cfg = StepConfig(model="JointLateClusterSoftStyle4_G", gan=True,
+                     criterion="L1Loss", num_clusters=num_clusters,
+                     num_speakers=2)
+    factory = StepFactory(cfg, donate=False)
+    rng = np.random.default_rng(seed)
+    batch = {
+        "x": (rng.normal(size=(B, T, 128)).astype(np.float32),),
+        "y": rng.normal(size=(B, T, 96)).astype(np.float32),
+        "labels": rng.integers(0, num_clusters, size=(B, T)).astype(np.int32),
+        "style": np.repeat(rng.integers(0, 2, size=(B, 1)), T,
+                           1).astype(np.int32),
+    }
+    state = factory.init(jax.random.key(0), batch)
+    audio = np.asarray(batch["x"][0])
+    styles = np.zeros((B,), np.int32)
+    return build_serving_fn, factory, state, audio, styles
+
+
+def test_time_partitioned_serving_matches_single_device():
+    """Sequence-parallel serving (partition='time'): one clip's time axis
+    GSPMD-sharded over the mesh — XLA inserts the size-3-conv halo
+    exchanges, so the output must match the single-device graph.  This is
+    the layout that cuts latency for a single LONG request (B=1) that
+    batch sharding cannot split."""
+    build_serving_fn, factory, state, audio, styles = _serving_fixture()
+    serve1 = build_serving_fn(factory, state, use_pallas=False)
+    serve_t = build_serving_fn(factory, state, use_pallas=False,
+                               mesh=make_mesh(8), partition="time")
+    out1 = np.asarray(serve1(audio, styles))
+    out_t_arr = serve_t(audio, styles)
+    out_t = np.asarray(out_t_arr)
+    assert out_t.shape == out1.shape
+    np.testing.assert_allclose(out_t, out1, rtol=0, atol=1e-5)
+    # the output really lives time-sharded: 8 distinct time-axis shards
+    starts = {s.index[1].start for s in out_t_arr.addressable_shards}
+    assert len(starts) == 8
+
+    # the Pallas decoder cannot be partitioned over time — loud, at build
+    with pytest.raises(ValueError, match="time partitioning"):
+        build_serving_fn(factory, state, use_pallas=True,
+                         mesh=make_mesh(8), partition="time")
+
+
+def test_expert_partitioned_serving_matches_single_device():
+    """Expert-parallel serving (partition='expert'): the M mixture experts
+    sharded over the mesh axis (the serving twin of training EP /
+    shard_state_mixture).  Each device decodes its local experts and ONE
+    psum realizes the mixture sum — output must match single-device up to
+    f32 reduction order."""
+    build_serving_fn, factory, state, audio, styles = _serving_fixture(
+        num_clusters=8)
+    serve1 = build_serving_fn(factory, state, use_pallas=False)
+    for n in (4, 8):  # g_local = 2 and 1
+        serve_e = build_serving_fn(factory, state, use_pallas=False,
+                                   mesh=make_mesh(n), partition="expert")
+        out1 = np.asarray(serve1(audio, styles))
+        out_e = np.asarray(serve_e(audio, styles))
+        assert out_e.shape == out1.shape
+        np.testing.assert_allclose(out_e, out1, rtol=0, atol=1e-5)
+
+    # experts must divide the axis: 8 clusters on a 3-device mesh is an
+    # error at build time, not a silent mis-shard
+    from mixstage_tpu.parallel.mesh import make_mesh as _mm
+    with pytest.raises(ValueError, match="must divide"):
+        build_serving_fn(factory, state, use_pallas=False,
+                         mesh=_mm(3), partition="expert")
+    # the int8 tier's scale layout is not expert-sliced — loud
+    with pytest.raises(ValueError, match="batch-partitioned only"):
+        build_serving_fn(factory, state, use_pallas=False, mesh=_mm(8),
+                         partition="expert", quantize_int8=True,
+                         calib=(audio, styles))
+    with pytest.raises(ValueError, match="unknown partition"):
+        build_serving_fn(factory, state, mesh=_mm(8), partition="pipeline")

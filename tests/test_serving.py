@@ -1013,3 +1013,18 @@ def test_soak_mixed_load_stability():
         stop.set()
         server.shutdown()
         b.close()
+
+
+def test_cli_partition_resolution():
+    """-serve_partition layout resolution (cli/serve.py): batch DP engages
+    only when the batch divides the device count; time/expert take the mesh
+    regardless (their sharding is batch-independent); one device collapses
+    every mode to the single-chip path."""
+    from mixstage_tpu.cli.serve import resolve_partition
+
+    assert resolve_partition(None, 8, 32) == ("batch", True)
+    assert resolve_partition("batch", 8, 30) == ("batch", False)
+    assert resolve_partition("time", 8, 30) == ("time", True)
+    assert resolve_partition("expert", 8, 30) == ("expert", True)
+    assert resolve_partition("time", 1, 32) == ("batch", False)
+    assert resolve_partition("", 8, 32) == ("batch", True)
