@@ -105,30 +105,43 @@ def marginal_time(run_chain, n: int = 16, reps: int = 3) -> float:
 
 def repeat_measure(measure, name: str, repeats: int = 3):
     """Variance-robust section timing (VERDICT r4 weak #1): run the whole
-    section measurement K>=3 times, report the median; if the RTT canary
-    trips after the repeats (the tunnel degraded DURING the section), run
-    one more repeat before accepting, so one bad transport window cannot
-    write a 2x-off number into the round's official record unannotated.
+    section measurement K>=3 times, report the median; while the RTT
+    canary trips OR the dispersion exceeds 25% (degradation during the
+    repeats that recovered before the canary read), take up to 2 extra
+    repeats before accepting, so one bad transport window cannot write a
+    2x-off number into the round's official record unannotated.
 
     Returns (median_seconds, meta) where meta carries the per-section
-    repeat count, relative spread (max-min)/median, and the post-section
-    RTT — everything a cross-round reader needs to tell code regression
-    from tunnel weather.
+    repeat count, relative spread (max-min)/median, and the
+    before/after/worst section RTTs — everything a cross-round reader
+    needs to tell code regression from tunnel weather.
     """
+    def spread_of(vs):
+        m = float(np.median(vs))
+        return (max(vs) - min(vs)) / m if m > 0 else 0.0
+
+    rtts = [session_rtt_ms(3)]
     vals = [measure() for _ in range(repeats)]
-    rtt = session_rtt_ms(3)
-    if rtt > 15.0:
-        log(f"{name}: RTT canary {rtt} ms/sync after section — degraded "
-            f"transport; taking one extra repeat before accepting")
+    rtts.append(session_rtt_ms(3))
+    # take up to 2 extra repeats while EITHER signal says the section is
+    # untrustworthy: the RTT canary (transport degraded right now) or the
+    # dispersion itself (>25% spread — degradation DURING the repeats that
+    # recovered before the canary read, which a post-hoc RTT can't see)
+    extras = 0
+    while extras < 2 and (rtts[-1] > 15.0 or spread_of(vals) > 0.25):
+        log(f"{name}: untrustworthy section (post-RTT {rtts[-1]} ms/sync, "
+            f"spread {spread_of(vals):.1%}); taking an extra repeat")
         vals.append(measure())
-        rtt = session_rtt_ms(3)
+        rtts.append(session_rtt_ms(3))
+        extras += 1
     med = float(np.median(vals))
-    spread = round((max(vals) - min(vals)) / med, 4) if med > 0 else None
+    spread = round(spread_of(vals), 4)
     log(f"{name}: {len(vals)} repeats, median {med * 1e3:.3f} ms, "
-        f"spread {spread:.1%}, post-RTT {rtt} ms" if spread is not None
-        else f"{name}: {len(vals)} repeats")
+        f"spread {spread:.1%}, RTT before/after/worst "
+        f"{rtts[0]}/{rtts[-1]}/{max(rtts)} ms")
     return med, {"repeats": len(vals), "spread": spread,
-                 "rtt_after_ms": rtt}
+                 "rtt_before_ms": rtts[0], "rtt_after_ms": rtts[-1],
+                 "rtt_worst_ms": max(rtts)}
 
 
 def remeasure_reference_cpu(iters: int = 3, timeout_s: int = 240):
@@ -454,8 +467,10 @@ def main():
     ref = REF_FRAMES_PER_SEC
     if REF_FILE.exists():
         ref = json.load(open(REF_FILE))["mixstage_gan_train_bs32"]["frames_per_sec"]
-    ref_diverged = (ref_remeasured is not None
-                    and abs(ref_remeasured - ref) / ref > 0.10)
+    # None (not False) when the remeasure never ran: the record must not
+    # claim "checked, not diverged" for a check that was unavailable
+    ref_diverged = (None if ref_remeasured is None
+                    else abs(ref_remeasured - ref) / ref > 0.10)
     if ref_remeasured is not None:
         log(f"reference CPU denominator: frozen {ref:.1f}, remeasured now "
             f"{ref_remeasured:.1f} frames/s"

@@ -148,7 +148,7 @@ def render_table(bench_path: Path) -> str:
                   f"≥{ex.get('serving_bs32_repeats', 3)} repeats "
                   f"(serving f32 spread {ex['serving_bs32_spread']:.1%}, "
                   f"per-step train spread "
-                  f"{ex.get('per_step_train_spread', 0):.1%}); tunnel "
+                  f"{ex.get('per_step_train_spread') or 0:.1%}); tunnel "
                   f"session {'DEGRADED' if deg else 'healthy'} by the RTT "
                   f"canary."]
     elif ex.get("session_degraded"):

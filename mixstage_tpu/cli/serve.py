@@ -29,9 +29,15 @@ def resolve_partition(partition, n_dev: int, batch: int):
     (otherwise a padded micro-batch could not shard); 'time'/'expert' take
     the mesh regardless — their sharding does not depend on the batch.
     Returns (effective_partition, use_mesh); on a single device every
-    partition collapses to the plain single-chip path.
+    (valid) partition collapses to the plain single-chip path.  Unknown
+    values raise HERE, not only on multi-chip hosts — a typo'd flag must
+    not silently ship batch mode on the 1-device box and then crash on the
+    pod.
     """
     partition = str(partition or "batch")
+    if partition not in ("batch", "time", "expert"):
+        raise ValueError(f"unknown -serve_partition {partition!r}; "
+                         "expected 'batch', 'time' or 'expert'")
     use_mesh = n_dev > 1 and (partition != "batch" or batch % n_dev == 0)
     return (partition if use_mesh else "batch"), use_mesh
 

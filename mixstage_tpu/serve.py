@@ -172,8 +172,8 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
       weighs them with its local slice of the mixture attention, and ONE
       psum over the axis realizes ``index_select_outputs``'s sum over
       experts.  Works with the Pallas kernel (it runs per-device on local
-      groups under shard_map).  ``num_clusters`` must divide the axis size;
-      the int8 tier stays batch-partitioned.
+      groups under shard_map).  The axis size must divide ``num_clusters``
+      (whole experts per device); the int8 tier stays batch-partitioned.
     """
     cfg = factory.cfg
     if partition not in ("batch", "time", "expert"):
@@ -338,8 +338,9 @@ def build_serving_fn(factory, state, use_pallas: Optional[bool] = None,
         else:  # partition == "expert"
             if G % n:
                 raise ValueError(
-                    f"expert serving: num_clusters {G} must divide the "
-                    f"{n}-device '{axis}' mesh axis")
+                    f"expert serving: the {n}-device '{axis}' mesh axis "
+                    f"must divide num_clusters {G} (whole experts per "
+                    f"device)")
 
             def serve_body_ep(gen_params, gen_bstats, fd, fc, audio,
                               style_w):

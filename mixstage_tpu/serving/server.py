@@ -602,19 +602,22 @@ def _make_handler(service: PoseService):
     return Handler
 
 
+class PoseHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with the TCP accept backlog raised from
+    socketserver's default of 5: a burst of concurrent clients beyond the
+    backlog gets kernel-level RSTs before the application can answer 429 —
+    overload must surface as the batcher's explicit shed, not as
+    connection resets."""
+
+    request_queue_size = 128
+
+
 def start_http_server(service: PoseService, port: int = 0,
                       host: str = "127.0.0.1"):
     """Start the HTTP front door on a daemon thread; returns the server
     (``server.server_address[1]`` is the bound port — pass ``port=0`` for an
-    ephemeral one).
-
-    The TCP accept backlog is raised from socketserver's default of 5: a
-    burst of concurrent clients beyond the backlog gets kernel-level RSTs
-    before the application can answer 429 — overload must surface as the
-    batcher's explicit shed, not as connection resets."""
-    srv_cls = type("PoseHTTPServer", (ThreadingHTTPServer,),
-                   {"request_queue_size": 128})
-    server = srv_cls((host, port), _make_handler(service))
+    ephemeral one)."""
+    server = PoseHTTPServer((host, port), _make_handler(service))
     thread = threading.Thread(target=server.serve_forever, daemon=True,
                               name="pose-http")
     thread.start()

@@ -1028,3 +1028,8 @@ def test_cli_partition_resolution():
     assert resolve_partition("expert", 8, 30) == ("expert", True)
     assert resolve_partition("time", 1, 32) == ("batch", False)
     assert resolve_partition("", 8, 32) == ("batch", True)
+    # a typo'd flag raises on ANY device count — it must not silently run
+    # batch mode on the 1-device box and then crash on the pod
+    for n_dev in (1, 8):
+        with pytest.raises(ValueError, match="unknown -serve_partition"):
+            resolve_partition("exprt", n_dev, 32)
