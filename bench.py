@@ -573,15 +573,20 @@ def main():
     try:
         log(f"compiling scan(k={k_bf16}) bf16…")
         bf16_factory = build(jnp.bfloat16, donate=True)
-        bf16_sec, bf16_scan_fn, bf16_args = bench_scan(
+        bf16_sec, _, _ = bench_scan(
             bf16_factory, B, k_bf16, chain=max(3, 96 // k_bf16))
         bf16_fps = B * T / bf16_sec / n_chips
         # the SECOND MFU definition, self-described (VERDICT r4 weak #2):
-        # bf16 scan k=64 FLOPs from XLA cost analysis of the scan program
-        # itself (includes the exact D/G coin mix the scan ran)
-        bf16_scan_flops = flops_of(bf16_scan_fn, *bf16_args)
-        mfu_bf16 = (bf16_scan_flops / k_bf16 / bf16_sec
-                    / V5E_BF16_PEAK_FLOPS if bf16_scan_flops else None)
+        # per-step FLOPs = the g/d cost-analysis numbers weighted by the
+        # exact k=64 coin mix the scan ran (same method as the f32 line —
+        # XLA cost analysis of the scan PROGRAM counts the while body only
+        # once, so it cannot be used directly; measured 2026-08-21)
+        n_d64 = int((np.random.default_rng(0).random(k_bf16)
+                     < factory.cfg.d_prob).sum())
+        step_flops64 = ((n_d64 * d_flops + (k_bf16 - n_d64) * g_flops)
+                        / k_bf16 if g_flops and d_flops else None)
+        mfu_bf16 = (step_flops64 / bf16_sec / V5E_BF16_PEAK_FLOPS
+                    if step_flops64 else None)
         log(f"train scan(k={k_bf16}) bf16: {bf16_sec * 1e3:.3f} ms/step, "
             f"{bf16_fps:,.0f} frames/s/chip"
             + (f", MFU {mfu_bf16:.1%} vs bf16 peak" if mfu_bf16 else ""))
@@ -594,12 +599,13 @@ def main():
         for bs in (64, 128):
             try:
                 log(f"compiling scan(k={k_bf16}) bf16 bs{bs}…")
-                sec, sfn, sargs = bench_scan(bf16_factory, bs * n_chips,
-                                             k_bf16, chain=3)
+                sec, _, _ = bench_scan(bf16_factory, bs * n_chips,
+                                       k_bf16, chain=3)
                 fps = bs * T / sec
-                sflops = flops_of(sfn, *sargs)
-                mfu_bs = (sflops / k_bf16 / sec / V5E_BF16_PEAK_FLOPS
-                          if sflops else None)
+                # per-sample FLOPs are linear in batch; scale the bs32
+                # coin-mix step FLOPs (cost analysis ran at bs32)
+                mfu_bs = (step_flops64 * (bs / 32) / sec
+                          / V5E_BF16_PEAK_FLOPS if step_flops64 else None)
                 batch_scaling[
                     f"scan_k64_bf16_bs{bs}_frames_per_sec_per_chip"] = \
                     round(fps, 1)

@@ -184,6 +184,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--freeze", action="store_true",
+                    help="overwrite reference_cpu.json (the frozen "
+                         "vs_baseline denominator contract); without it, "
+                         "results go to reference_cpu_latest.json so a "
+                         "routine health re-measure cannot silently move "
+                         "the cross-round denominator")
     args = ap.parse_args()
     torch.set_num_threads(torch.get_num_threads())
     results = {
@@ -193,6 +199,7 @@ if __name__ == "__main__":
         "mixstage_infer_clip": bench_mixstage_infer(),
         "s2g_train_bs32": bench_s2g_train(args.batch_size, args.iters),
     }
-    out = Path(__file__).parent / "reference_cpu.json"
+    name = "reference_cpu.json" if args.freeze else "reference_cpu_latest.json"
+    out = Path(__file__).parent / name
     json.dump(results, open(out, "w"), indent=2)
     print(json.dumps(results, indent=2))
